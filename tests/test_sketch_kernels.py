@@ -1,0 +1,289 @@
+"""Kernel unit + property tests (no Spark needed — pure numpy).
+
+Mirrors the reference's component tests
+(/root/reference/components/bloomfilter/component_test.go:11-29 add→test
+roundtrip) and adds the north-rule-mandated merge-associativity and
+error-bound properties (BASELINE.json north_rule, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wordspell_spark.sketches import SketchSpec, bloom, cms, deserialize_any, hll, kll, serde, tdigest
+
+RNG = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------- bloom
+
+class TestBloom:
+    def test_add_then_test_zero_false_negatives(self):
+        words = np.array([f"word-{i}" for i in range(5000)], dtype=object)
+        st = bloom.create(n_estimate=5000, fpr=0.01)
+        bloom.update(st, words)
+        assert bloom.contains(st, words).all(), "bloom must have zero false negatives"
+
+    def test_fpr_within_configured_bound(self):
+        n = 20_000
+        members = np.array([f"in-{i}" for i in range(n)], dtype=object)
+        probes = np.array([f"out-{i}" for i in range(n * 5)], dtype=object)
+        st = bloom.create(n_estimate=n, fpr=0.01)
+        bloom.update(st, members)
+        fp = bloom.contains(st, probes).mean()
+        assert fp <= 0.02, f"observed FPR {fp:.4f} > 2x configured 0.01"
+
+    def test_merge_is_union_and_bit_associative(self):
+        a_vals = np.array([f"a{i}" for i in range(1000)], dtype=object)
+        b_vals = np.array([f"b{i}" for i in range(1000)], dtype=object)
+        c_vals = np.array([f"c{i}" for i in range(1000)], dtype=object)
+        mk = lambda vals: bloom.update(bloom.create(4000, 0.01), vals)
+        a, b, c = mk(a_vals), mk(b_vals), mk(c_vals)
+        ab_c = bloom.merge(bloom.merge(a, b), c)
+        a_bc = bloom.merge(a, bloom.merge(b, c))
+        ba_c = bloom.merge(bloom.merge(b, a), c)
+        assert (ab_c.bits == a_bc.bits).all()
+        assert (ab_c.bits == ba_c.bits).all()
+        # identity: merge with empty filter is a no-op
+        empty = bloom.create(4000, 0.01)
+        assert (bloom.merge(a, empty).bits == a.bits).all()
+        # union semantics: everything from all three present
+        allv = np.concatenate([a_vals, b_vals, c_vals])
+        assert bloom.contains(ab_c, allv).all()
+
+    def test_geometry_mismatch_rejected(self):
+        with pytest.raises(serde.SketchFormatError):
+            bloom.merge(bloom.create(100, 0.01), bloom.create(100000, 0.01))
+
+    def test_serde_roundtrip(self):
+        st = bloom.update(bloom.create(1000, 0.005), np.array(["x", "y"], dtype=object))
+        rt = bloom.deserialize(bloom.serialize(st))
+        assert (rt.bits == st.bits).all() and rt.m == st.m and rt.k == st.k
+        assert bloom.serialize(rt) == bloom.serialize(st)  # byte-stable
+
+    def test_int_and_u32row_paths(self):
+        tokens = RNG.integers(0, 50_000, size=3000)
+        st = bloom.create(3000, 0.01)
+        bloom.update(st, tokens)
+        assert bloom.contains(st, tokens).all()
+        # row path: 3-grams as uint32 matrix
+        mat = RNG.integers(0, 50_000, size=(500, 3)).astype(np.uint32)
+        st2 = bloom.create(500, 0.01)
+        bloom.update_u32_rows(st2, mat)
+        from wordspell_spark.sketches.hashing import row_hash_u32_matrix
+
+        assert bloom.contains_hashes(st2, row_hash_u32_matrix(mat)).all()
+
+    def test_padding_does_not_alias(self):
+        """Rows equal after padding but with different valid lengths differ."""
+        from wordspell_spark.sketches.hashing import row_hash_u32_matrix
+
+        mat = np.array([[5, 7, 0], [5, 7, 0]], dtype=np.uint32)
+        h = row_hash_u32_matrix(mat, valid_len=np.array([2, 3]))
+        assert h[0] != h[1]
+
+
+# ---------------------------------------------------------------- hll
+
+class TestHll:
+    def test_estimate_within_rse_bound(self):
+        for true_n in (100, 5_000, 200_000):
+            vals = np.array([f"v{i}" for i in range(true_n)], dtype=object)
+            st = hll.create(p=14)
+            hll.update(st, vals)
+            est = hll.estimate(st)
+            tol = 4 * hll.rse(st)  # 4 sigma
+            assert abs(est - true_n) <= tol * true_n + 2, f"n={true_n} est={est}"
+
+    def test_merge_bit_associative_commutative(self):
+        chunks = [np.array([f"{c}-{i}" for i in range(4000)], dtype=object) for c in "abc"]
+        sts = [hll.update(hll.create(12), ch) for ch in chunks]
+        m1 = hll.merge(hll.merge(sts[0], sts[1]), sts[2])
+        m2 = hll.merge(sts[0], hll.merge(sts[1], sts[2]))
+        m3 = hll.merge(sts[2], hll.merge(sts[1], sts[0]))
+        assert (m1.registers == m2.registers).all()
+        assert (m1.registers == m3.registers).all()
+        # idempotent: merging a sketch with itself changes nothing
+        assert (hll.merge(m1, m1).registers == m1.registers).all()
+
+    def test_merge_equals_union_build(self):
+        a = np.array([f"x{i}" for i in range(3000)], dtype=object)
+        b = np.array([f"x{i}" for i in range(1500, 4500)], dtype=object)  # overlap
+        st_merged = hll.merge(hll.update(hll.create(13), a), hll.update(hll.create(13), b))
+        st_direct = hll.update(hll.update(hll.create(13), a), b)
+        assert (st_merged.registers == st_direct.registers).all()
+
+    def test_small_range_linear_counting(self):
+        st = hll.update(hll.create(14), np.arange(10))
+        assert abs(hll.estimate(st) - 10) < 1.0
+
+    def test_serde_roundtrip(self):
+        st = hll.update(hll.create(10), np.arange(1000))
+        rt = hll.deserialize(hll.serialize(st))
+        assert rt.p == st.p and (rt.registers == st.registers).all()
+
+
+# ---------------------------------------------------------------- cms
+
+class TestCms:
+    def test_never_undercounts_and_eps_bound(self):
+        zipf = RNG.zipf(1.3, size=200_000).clip(max=10_000)
+        st = cms.create(eps=1e-3, delta=1e-3)
+        cms.update(st, zipf)
+        uniq, true_counts = np.unique(zipf, return_counts=True)
+        est = cms.query(st, uniq)
+        assert (est >= true_counts).all(), "CMS must never undercount"
+        bound = cms.error_bound(st)
+        frac_over = ((est - true_counts) > bound).mean()
+        assert frac_over <= 1e-3 + 0.01, f"{frac_over:.4f} of keys exceed eps*N bound"
+
+    def test_weighted_update_matches_repeat(self):
+        st1 = cms.create(width=1000, depth=4)
+        cms.update(st1, np.array([7, 7, 7, 9]))
+        st2 = cms.create(width=1000, depth=4)
+        cms.update(st2, np.array([7, 9]), weights=np.array([3, 1]))
+        assert (st1.counts == st2.counts).all() and st1.total == st2.total
+
+    def test_merge_linear_and_associative(self):
+        batches = [RNG.integers(0, 1000, size=5000) for _ in range(3)]
+        mk = lambda b: cms.update(cms.create(width=2000, depth=5), b)
+        a, b, c = (mk(x) for x in batches)
+        m1 = cms.merge(cms.merge(a, b), c)
+        m2 = cms.merge(a, cms.merge(b, c))
+        assert (m1.counts == m2.counts).all() and m1.total == m2.total
+        direct = cms.update(cms.update(mk(batches[0]), batches[1]), batches[2])
+        assert (m1.counts == direct.counts).all()
+
+    def test_serde_roundtrip(self):
+        st = cms.update(cms.create(width=100, depth=3), np.arange(50))
+        rt = cms.deserialize(cms.serialize(st))
+        assert (rt.counts == st.counts).all() and rt.total == st.total
+
+
+# ---------------------------------------------------------------- kll
+
+class TestKll:
+    def test_rank_error_bound(self):
+        data = RNG.normal(size=100_000)
+        st = kll.update(kll.create(k=200), data)
+        qs = np.array([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+        est = kll.quantile(st, qs)
+        sorted_d = np.sort(data)
+        true_ranks = np.searchsorted(sorted_d, est) / data.size
+        err = np.abs(true_ranks - qs)
+        assert err.max() <= kll.error_bound(st), f"rank errors {err}"
+
+    def test_merge_preserves_bound_all_associations(self):
+        parts = [RNG.normal(loc=i, size=30_000) for i in range(3)]
+        sts = [kll.update(kll.create(k=200), p) for p in parts]
+        alldata = np.sort(np.concatenate(parts))
+        for merged in (
+            kll.merge(kll.merge(sts[0], sts[1]), sts[2]),
+            kll.merge(sts[0], kll.merge(sts[1], sts[2])),
+            kll.merge(sts[2], kll.merge(sts[0], sts[1])),
+        ):
+            assert merged.n == alldata.size
+            qs = np.array([0.1, 0.5, 0.9])
+            est = kll.quantile(merged, qs)
+            true_ranks = np.searchsorted(alldata, est) / alldata.size
+            assert np.abs(true_ranks - qs).max() <= 2 * kll.error_bound(merged)
+
+    def test_exact_when_small(self):
+        data = np.arange(100, dtype=float)
+        st = kll.update(kll.create(k=200), data)
+        assert kll.quantile(st, 0.0)[0] == 0.0
+        assert kll.quantile(st, 1.0)[0] == 99.0
+        assert abs(kll.quantile(st, 0.5)[0] - 50.0) <= 1.0
+
+    def test_deterministic(self):
+        data = RNG.permutation(50_000).astype(float)
+        s1 = kll.update(kll.create(k=150), data.copy())
+        s2 = kll.update(kll.create(k=150), data.copy())
+        assert kll.serialize(s1) == kll.serialize(s2)
+
+    def test_serde_roundtrip(self):
+        st = kll.update(kll.create(k=120), RNG.normal(size=10_000))
+        rt = kll.deserialize(kll.serialize(st))
+        assert rt.n == st.n
+        assert (kll.quantile(rt, np.linspace(0, 1, 11)) == kll.quantile(st, np.linspace(0, 1, 11))).all()
+
+
+# ---------------------------------------------------------------- tdigest
+
+class TestTDigest:
+    def test_rank_error_bound(self):
+        data = RNG.exponential(size=100_000)
+        st = tdigest.update(tdigest.create(delta=200), data)
+        qs = np.array([0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999])
+        est = tdigest.quantile(st, qs)
+        sorted_d = np.sort(data)
+        true_ranks = np.searchsorted(sorted_d, est) / data.size
+        err = np.abs(true_ranks - qs)
+        # k1 scale: error ~ q(1-q); assert generous uniform cap + tight tails
+        assert err.max() <= 0.02, f"rank errors {err}"
+        assert err[0] <= 0.002 and err[-1] <= 0.002, "tails must be tight"
+
+    def test_merge_preserves_bound_all_associations(self):
+        parts = [RNG.normal(loc=3 * i, size=40_000) for i in range(3)]
+        sts = [tdigest.update(tdigest.create(delta=200), p) for p in parts]
+        alldata = np.sort(np.concatenate(parts))
+        for merged in (
+            tdigest.merge(tdigest.merge(sts[0], sts[1]), sts[2]),
+            tdigest.merge(sts[0], tdigest.merge(sts[1], sts[2])),
+            tdigest.merge(sts[1], tdigest.merge(sts[2], sts[0])),
+        ):
+            assert merged.n == alldata.size
+            qs = np.array([0.05, 0.5, 0.95])
+            est = tdigest.quantile(merged, qs)
+            true_ranks = np.searchsorted(alldata, est) / alldata.size
+            assert np.abs(true_ranks - qs).max() <= 0.03
+
+    def test_centroid_count_bounded(self):
+        st = tdigest.update(tdigest.create(delta=100), RNG.normal(size=500_000))
+        rt = tdigest.deserialize(tdigest.serialize(st))
+        assert rt.means.size <= 2 * 100 + 20, f"{rt.means.size} centroids for delta=100"
+
+    def test_weighted_mean_preserved(self):
+        data = RNG.uniform(size=50_000)
+        st = tdigest.update(tdigest.create(delta=200), data)
+        rt = tdigest.deserialize(tdigest.serialize(st))
+        approx_mean = float((rt.means * rt.weights).sum() / rt.weights.sum())
+        assert abs(approx_mean - data.mean()) < 1e-9
+
+    def test_serde_roundtrip(self):
+        st = tdigest.update(tdigest.create(delta=150), RNG.normal(size=20_000))
+        rt = tdigest.deserialize(tdigest.serialize(st))
+        q = np.array([0.25, 0.5, 0.75])
+        assert np.allclose(tdigest.quantile(rt, q), tdigest.quantile(st, q))
+
+
+# ---------------------------------------------------------------- registry / spec
+
+class TestSpecRegistry:
+    def test_spec_roundtrip_all_kinds(self):
+        data = RNG.integers(0, 1000, size=2000)
+        for kind, params in [
+            ("bloom", {"n_estimate": 2000, "fpr": 0.01}),
+            ("hll", {"p": 12}),
+            ("cms", {"width": 500, "depth": 4}),
+            ("kll", {"k": 100}),
+            ("tdigest", {"delta": 100.0}),
+        ]:
+            spec = SketchSpec(kind, params)
+            st = spec.update(spec.create(), data)
+            payload = spec.serialize(st)
+            name, rt = deserialize_any(payload)
+            assert name == kind
+            merged = spec.merge_payloads([payload, payload])
+            assert isinstance(merged, bytes)
+
+    def test_unknown_kind_rejected(self):
+        with pytest.raises(ValueError):
+            SketchSpec("hyperminhash")
+
+    def test_cross_kind_merge_rejected(self):
+        b = bloom.serialize(bloom.create(100, 0.01))
+        h = hll.serialize(hll.create(8))
+        with pytest.raises(serde.SketchFormatError):
+            SketchSpec("bloom").merge_payloads([b, h])

@@ -1,0 +1,155 @@
+"""Mergeable Bloom filter kernel (pure numpy, vectorized).
+
+Reproduces the semantics of the reference's Bloom component
+(/root/reference/components/bloomfilter/component.go:44-138): sized from an
+element-count estimate and a target false-positive rate (``NewWithEstimates``,
+component.go:52), Add/Test with zero false negatives, byte-blob persistence.
+Default FPR mirrors the reference's 0.005 (component.go:16); builder examples
+use 0.01 (examples/indexbuilder/main.go:20).
+
+Differences by design (Spark-first, SURVEY.md §2.11):
+
+* batch-vectorized ``update`` over numpy arrays, not per-element ``Add``;
+* ``merge`` = bitwise OR of bit arrays with identical geometry — the UDAF
+  merge contract (SURVEY.md §2.9 U3);
+* explicit versioned little-endian payload instead of Go gob.
+
+State layout: ``m`` bits in an array of u64 words, ``k`` hash functions via
+Kirsch–Mitzenmacher double hashing (hashing.py).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import serde
+from .hashing import double_hash, row_hash_u32_matrix, splitmix64
+
+DEFAULT_FPR = 0.005  # reference default, component.go:16
+
+_U64 = np.uint64
+_PARAMS = struct.Struct("<QI")  # m_bits, k
+
+
+def optimal_m_k(n: int, p: float) -> tuple[int, int]:
+    """Optimal bit count / hash count for n elements at FPR p.
+
+    Same formulas bits-and-blooms uses under ``NewWithEstimates``.
+    """
+    n = max(1, int(n))
+    m = max(64, int(math.ceil(-n * math.log(p) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64  # whole u64 words
+    k = max(1, round((m / n) * math.log(2)))
+    return m, k
+
+
+@dataclass
+class BloomState:
+    m: int  # number of bits
+    k: int  # number of hash functions
+    bits: np.ndarray  # u64 words, length m // 64
+
+    def copy(self) -> "BloomState":
+        return BloomState(self.m, self.k, self.bits.copy())
+
+
+def create(n_estimate: int = 1_000_000, fpr: float = DEFAULT_FPR, *, m: int | None = None, k: int | None = None) -> BloomState:
+    if m is None or k is None:
+        m, k = optimal_m_k(n_estimate, fpr)
+    return BloomState(m, k, np.zeros(m // 64, dtype=_U64))
+
+
+def _set_bits(state: BloomState, h1: np.ndarray, h2: np.ndarray) -> None:
+    if h1.size == 0:
+        return
+    m = _U64(state.m)
+    for i in range(state.k):
+        idx = (h1 + _U64(i) * h2) % m
+        np.bitwise_or.at(state.bits, (idx >> _U64(6)).astype(np.int64), _U64(1) << (idx & _U64(63)))
+
+
+def _test_bits(state: BloomState, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    if h1.size == 0:
+        return np.empty(0, dtype=bool)
+    m = _U64(state.m)
+    out = np.ones(h1.shape, dtype=bool)
+    for i in range(state.k):
+        idx = (h1 + _U64(i) * h2) % m
+        word = state.bits[(idx >> _U64(6)).astype(np.int64)]
+        out &= (word >> (idx & _U64(63))) & _U64(1) != 0
+    return out
+
+
+def update(state: BloomState, values) -> BloomState:
+    """Insert a batch of values (str / bytes / int / float array)."""
+    h1, h2 = double_hash(values)
+    _set_bits(state, h1, h2)
+    return state
+
+
+def update_hashes(state: BloomState, h1: np.ndarray) -> BloomState:
+    """Insert pre-hashed 64-bit keys (e.g. row_hash_u32_matrix output)."""
+    h1 = h1.astype(_U64, copy=False)
+    _set_bits(state, h1, splitmix64(h1) | _U64(1))
+    return state
+
+
+def update_u32_rows(state: BloomState, mat: np.ndarray, valid_len: np.ndarray | None = None) -> BloomState:
+    """Insert each row of a (n, L) uint32 matrix as one set element.
+
+    This is the fast path for SymSpell deletion neighborhoods: candidate
+    generation emits codepoint/token matrices and we never materialize
+    Python strings (input_hint: no per-row Python).
+    """
+    return update_hashes(state, row_hash_u32_matrix(mat, valid_len))
+
+
+def contains(state: BloomState, values) -> np.ndarray:
+    """Vectorized membership test — no false negatives, FPR-bounded positives.
+
+    Parity: ``Test`` at components/bloomfilter/component.go:86-94.
+    """
+    h1, h2 = double_hash(values)
+    return _test_bits(state, h1, h2)
+
+
+def contains_hashes(state: BloomState, h1: np.ndarray) -> np.ndarray:
+    h1 = h1.astype(_U64, copy=False)
+    return _test_bits(state, h1, splitmix64(h1) | _U64(1))
+
+
+def merge(a: BloomState, b: BloomState) -> BloomState:
+    """Set-union of two filters — requires identical geometry."""
+    if (a.m, a.k) != (b.m, b.k):
+        raise serde.SketchFormatError(f"bloom geometry mismatch: ({a.m},{a.k}) vs ({b.m},{b.k})")
+    return BloomState(a.m, a.k, a.bits | b.bits)
+
+
+def fill_ratio(state: BloomState) -> float:
+    set_bits = int(np.unpackbits(state.bits.view(np.uint8)).sum())
+    return set_bits / state.m
+
+
+def approx_fpr(state: BloomState) -> float:
+    """Current effective false-positive probability given fill ratio."""
+    return float(fill_ratio(state) ** state.k)
+
+
+def serialize(state: BloomState) -> bytes:
+    params = _PARAMS.pack(state.m, state.k)
+    return serde.pack_header(serde.KIND_BLOOM, params) + state.bits.astype("<u8").tobytes()
+
+
+def deserialize(payload: bytes) -> BloomState:
+    kind, params, body = serde.unpack_header(payload)
+    if kind != serde.KIND_BLOOM:
+        raise serde.SketchFormatError(f"not a bloom payload (kind={kind})")
+    m, k = _PARAMS.unpack(params)
+    bits = np.frombuffer(body, dtype="<u8").astype(_U64)
+    if bits.size != m // 64:
+        raise serde.SketchFormatError("bloom body size mismatch")
+    return BloomState(m, k, bits)

@@ -1,0 +1,111 @@
+"""Mergeable count-min sketch kernel (pure numpy, vectorized).
+
+Answers heavy-hitter token frequencies (BASELINE.json north_star) — the
+sketch analogue of the reference's exact word-frequency index
+(/root/reference/components/index/builder.go:224-246) whose additive merge
+(components/index/models.go:58-72) is exactly the CMS merge contract:
+counter-wise sum.
+
+Cormode–Muthukrishnan guarantees with width w = ceil(e/ε), depth d =
+ceil(ln(1/δ)): estimate ≥ true count, and ≤ true + ε·N with probability
+1 − δ (N = total added weight).  Conservative update is deliberately NOT
+used — it breaks merge linearity, and mergeability is the whole point here.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import serde
+from .hashing import double_hash
+
+_U64 = np.uint64
+_PARAMS = struct.Struct("<II")  # width, depth
+
+DEFAULT_EPS = 1e-4
+DEFAULT_DELTA = 1e-3
+
+
+def dims_for(eps: float = DEFAULT_EPS, delta: float = DEFAULT_DELTA) -> tuple[int, int]:
+    width = int(math.ceil(math.e / eps))
+    depth = int(math.ceil(math.log(1.0 / delta)))
+    return width, max(1, depth)
+
+
+@dataclass
+class CmsState:
+    width: int
+    depth: int
+    counts: np.ndarray  # int64 (depth, width)
+    total: int  # total added weight N (for the ε·N bound)
+
+    def copy(self) -> "CmsState":
+        return CmsState(self.width, self.depth, self.counts.copy(), self.total)
+
+
+def create(eps: float = DEFAULT_EPS, delta: float = DEFAULT_DELTA, *, width: int | None = None, depth: int | None = None) -> CmsState:
+    if width is None or depth is None:
+        width, depth = dims_for(eps, delta)
+    return CmsState(width, depth, np.zeros((depth, width), dtype=np.int64), 0)
+
+
+def _bucket_rows(state: CmsState, values) -> np.ndarray:
+    """(depth, n) bucket indices via double hashing."""
+    h1, h2 = double_hash(values)
+    rows = np.arange(state.depth, dtype=_U64)[:, None]
+    return ((h1[None, :] + rows * h2[None, :]) % _U64(state.width)).astype(np.int64)
+
+
+def update(state: CmsState, values, weights=None) -> CmsState:
+    """Add a batch of values with optional integer weights (default 1)."""
+    idx = _bucket_rows(state, values)
+    n = idx.shape[1]
+    if n == 0:
+        return state
+    w = np.ones(n, dtype=np.int64) if weights is None else np.asarray(weights, dtype=np.int64)
+    for d in range(state.depth):
+        np.add.at(state.counts[d], idx[d], w)
+    state.total += int(w.sum())
+    return state
+
+
+def query(state: CmsState, values) -> np.ndarray:
+    """Vectorized point estimates: min over depth rows (never undercounts)."""
+    idx = _bucket_rows(state, values)
+    if idx.shape[1] == 0:
+        return np.empty(0, dtype=np.int64)
+    est = state.counts[0][idx[0]]
+    for d in range(1, state.depth):
+        est = np.minimum(est, state.counts[d][idx[d]])
+    return est
+
+
+def merge(a: CmsState, b: CmsState) -> CmsState:
+    if (a.width, a.depth) != (b.width, b.depth):
+        raise serde.SketchFormatError(f"cms dims mismatch: ({a.width},{a.depth}) vs ({b.width},{b.depth})")
+    return CmsState(a.width, a.depth, a.counts + b.counts, a.total + b.total)
+
+
+def error_bound(state: CmsState) -> float:
+    """ε·N additive overcount bound with probability ≥ 1-δ."""
+    return (math.e / state.width) * state.total
+
+
+def serialize(state: CmsState) -> bytes:
+    params = _PARAMS.pack(state.width, state.depth)
+    body = struct.pack("<q", state.total) + state.counts.astype("<i8").tobytes()
+    return serde.pack_header(serde.KIND_CMS, params) + body
+
+
+def deserialize(payload: bytes) -> CmsState:
+    kind, params, body = serde.unpack_header(payload)
+    if kind != serde.KIND_CMS:
+        raise serde.SketchFormatError(f"not a cms payload (kind={kind})")
+    width, depth = _PARAMS.unpack(params)
+    (total,) = struct.unpack_from("<q", body, 0)
+    counts = np.frombuffer(body[8:], dtype="<i8").astype(np.int64).reshape(depth, width)
+    return CmsState(width, depth, counts, total)

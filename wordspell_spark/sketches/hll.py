@@ -1,0 +1,119 @@
+"""Mergeable HyperLogLog kernel (pure numpy, vectorized).
+
+Answers distinct-token cardinality per source (BASELINE.json north_star) —
+the sketch analogue of the reference's exact sizing pre-pass
+(/root/reference/components/index/service.go:122-138) and a drop-in for
+Spark's ``approx_count_distinct`` (which we use as a secondary oracle in
+tests).
+
+Standard Flajolet–Furet–Gandouet–Meunier HLL with 64-bit hashing:
+m = 2**p registers; register j keeps the max leading-zero-rank of hashes
+routed to it.  Relative standard error ≈ 1.04 / sqrt(m) — the published
+bound the driver's north_star checks.  Merge = elementwise max (idempotent,
+commutative, associative — bit-exact property tests).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import serde
+from .hashing import hash64
+
+DEFAULT_P = 14  # m = 16384 registers → RSE ≈ 0.81%
+
+_U64 = np.uint64
+_PARAMS = struct.Struct("<B")
+
+
+@dataclass
+class HllState:
+    p: int
+    registers: np.ndarray  # uint8, length 2**p
+
+    @property
+    def m(self) -> int:
+        return 1 << self.p
+
+    def copy(self) -> "HllState":
+        return HllState(self.p, self.registers.copy())
+
+
+def create(p: int = DEFAULT_P) -> HllState:
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    return HllState(p, np.zeros(1 << p, dtype=np.uint8))
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for u64 (binary search, 6 steps).
+
+    Avoids float log2 which is inexact above 2**53.
+    """
+    x = x.astype(_U64, copy=True)
+    n = np.full(x.shape, 64, dtype=np.int64)
+    shift = 32
+    while shift:
+        s = _U64(shift)
+        big = (x >> s) != 0
+        n = np.where(big, n - shift, n)
+        x = np.where(big, x >> s, x)
+        shift >>= 1
+    return np.where(x != 0, n - 1, n)  # n-1 accounts for the last set bit
+
+
+def update(state: HllState, values) -> HllState:
+    return update_hashes(state, hash64(values))
+
+
+def update_hashes(state: HllState, h: np.ndarray) -> HllState:
+    if h.size == 0:
+        return state
+    h = h.astype(_U64, copy=False)
+    p = _U64(state.p)
+    idx = (h >> (_U64(64) - p)).astype(np.int64)
+    w = h << p  # remaining 64-p bits, left-aligned
+    rank = (_clz64(w) + 1).clip(max=64 - state.p + 1).astype(np.uint8)
+    np.maximum.at(state.registers, idx, rank)
+    return state
+
+
+def merge(a: HllState, b: HllState) -> HllState:
+    if a.p != b.p:
+        raise serde.SketchFormatError(f"hll precision mismatch: {a.p} vs {b.p}")
+    return HllState(a.p, np.maximum(a.registers, b.registers))
+
+
+def estimate(state: HllState) -> float:
+    """Cardinality estimate with small-range correction (linear counting)."""
+    m = state.m
+    regs = state.registers.astype(np.float64)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    raw = alpha * m * m / np.sum(np.exp2(-regs))
+    zeros = int(np.count_nonzero(state.registers == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        return m * np.log(m / zeros)  # linear counting
+    return float(raw)
+
+
+def rse(state: HllState) -> float:
+    """Published relative standard error bound 1.04 / sqrt(m)."""
+    return 1.04 / (state.m ** 0.5)
+
+
+def serialize(state: HllState) -> bytes:
+    return serde.pack_header(serde.KIND_HLL, _PARAMS.pack(state.p)) + state.registers.tobytes()
+
+
+def deserialize(payload: bytes) -> HllState:
+    kind, params, body = serde.unpack_header(payload)
+    if kind != serde.KIND_HLL:
+        raise serde.SketchFormatError(f"not an hll payload (kind={kind})")
+    (p,) = _PARAMS.unpack(params)
+    regs = np.frombuffer(body, dtype=np.uint8).copy()
+    if regs.size != 1 << p:
+        raise serde.SketchFormatError("hll body size mismatch")
+    return HllState(p, regs)
