@@ -1,0 +1,133 @@
+"""End-to-end Spark harness tests: build_sketches vs exact oracles.
+
+The "minimum end-to-end slice" of SURVEY.md §7: HLL distinct tokens per
+source validated against exact countDistinct, then the other kinds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wordspell_spark.harness import build_sketches, collect_sketches, make_cms_count_udf, make_membership_udf
+from wordspell_spark.sketches import SketchSpec, bloom, cms, hll, kll, tdigest
+
+
+@pytest.fixture(scope="module")
+def exact_distinct_per_source(sequences_small):
+    rows = (
+        sequences_small.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source")
+        .agg(F.countDistinct("token").alias("nd"))
+        .collect()
+    )
+    return {r["source"]: r["nd"] for r in rows}
+
+
+def test_hll_per_source_within_bound(spark, sequences_small, exact_distinct_per_source):
+    spec = SketchSpec("hll", {"p": 14})
+    result = build_sketches(sequences_small, spec, ["source"], "tokens")
+    states = collect_sketches(result, spec, ["source"])
+    assert set(states) == set(exact_distinct_per_source)
+    for src, st in states.items():
+        est, true = hll.estimate(st), exact_distinct_per_source[src]
+        assert abs(est - true) <= 5 * hll.rse(st) * true + 2, f"{src}: {est} vs {true}"
+
+
+def test_hll_salted_two_level_same_registers(spark, sequences_small):
+    spec = SketchSpec("hll", {"p": 12})
+    flat = collect_sketches(build_sketches(sequences_small, spec, ["source"], "tokens"), spec, ["source"])
+    salted = collect_sketches(
+        build_sketches(sequences_small, spec, ["source"], "tokens", salt_buckets=4), spec, ["source"]
+    )
+    for src in flat:
+        assert (flat[src].registers == salted[src].registers).all(), "salted tree must be bit-identical (HLL merge idempotent)"
+
+
+def test_global_sketch_no_groups(spark, sequences_small):
+    spec = SketchSpec("hll", {"p": 14})
+    st = collect_sketches(build_sketches(sequences_small, spec, None, "tokens"), spec, None)
+    true = sequences_small.select(F.explode("tokens").alias("t")).distinct().count()
+    assert abs(hll.estimate(st) - true) <= 5 * hll.rse(st) * true + 2
+
+
+def test_cms_heavy_hitters(spark, sequences_small):
+    spec = SketchSpec("cms", {"eps": 1e-4, "delta": 1e-3})
+    st = collect_sketches(build_sketches(sequences_small, spec, None, "tokens"), spec, None)
+    top = (
+        sequences_small.select(F.explode("tokens").alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(20)
+        .collect()
+    )
+    keys = np.array([r["t"] for r in top], dtype=np.int64)
+    true = np.array([r["count"] for r in top], dtype=np.int64)
+    est = cms.query(st, keys)
+    assert (est >= true).all(), "CMS must never undercount"
+    assert (est - true <= cms.error_bound(st)).all()
+    assert st.total == sequences_small.select(F.sum("n_tok")).first()[0]
+
+
+def test_kll_and_tdigest_ntok_quantiles(spark, sequences_small):
+    exact = sequences_small.selectExpr(
+        "percentile(n_tok, array(0.1, 0.5, 0.9, 0.99)) as p"
+    ).first()["p"]
+    for kind, params, mod, tol in [
+        ("kll", {"k": 200}, kll, None),
+        ("tdigest", {"delta": 200.0}, tdigest, 0.02),
+    ]:
+        spec = SketchSpec(kind, params)
+        st = collect_sketches(build_sketches(sequences_small, spec, None, "n_tok"), spec, None)
+        qs = np.array([0.1, 0.5, 0.9, 0.99])
+        est = mod.quantile(st, qs)
+        # verify in rank space against the exact n_tok distribution
+        ntok = np.sort(np.array(sequences_small.select("n_tok").toPandas()["n_tok"]))
+        est_ranks = np.searchsorted(ntok, est, side="right") / ntok.size
+        bound = mod.error_bound(st) if tol is None else tol
+        # discrete data: allow rank slack of one repeated-value run
+        assert np.abs(est_ranks - qs).max() <= bound + 0.02, f"{kind}: {est} vs {exact}"
+
+
+def test_bloom_membership_udf_roundtrip(spark, sequences_small):
+    distinct_tokens = sequences_small.select(F.explode("tokens").alias("t")).distinct()
+    n = distinct_tokens.count()
+    spec = SketchSpec("bloom", {"n_estimate": int(n * 1.2), "fpr": 0.01})
+    result = build_sketches(sequences_small, spec, None, "tokens")
+    payload = result.first()["sketch"]
+
+    udf = make_membership_udf(spark, payload)
+    probed = distinct_tokens.withColumn("hit", udf(F.col("t")))
+    assert probed.filter(~F.col("hit")).count() == 0, "zero false negatives"
+
+    # absent keys: ids beyond the vocab → FPR-bounded positives
+    absent = spark.range(100_000, 140_000).withColumn("t", F.col("id").cast("int"))
+    fp = absent.withColumn("hit", udf(F.col("t"))).filter(F.col("hit")).count() / 40_000
+    assert fp <= 0.02, f"observed FPR {fp}"
+
+
+def test_cms_count_udf(spark, sequences_small):
+    spec = SketchSpec("cms", {"eps": 1e-4, "delta": 1e-3})
+    payload = build_sketches(sequences_small, spec, None, "tokens").first()["sketch"]
+    udf = make_cms_count_udf(spark, payload)
+    exact = (
+        sequences_small.select(F.explode("tokens").alias("t")).groupBy("t").count().limit(500)
+    )
+    checked = exact.withColumn("est", udf(F.col("t")))
+    bad = checked.filter(F.col("est") < F.col("count")).count()
+    assert bad == 0
+
+
+def test_rows_items_metrics(spark, sequences_small):
+    spec = SketchSpec("hll", {"p": 10})
+    result = build_sketches(sequences_small, spec, ["source"], "tokens")
+    got = {r["source"]: (r["rows"], r["items"]) for r in result.collect()}
+    exact = {
+        r["source"]: (r["rows"], r["items"])
+        for r in sequences_small.groupBy("source")
+        .agg(F.count("*").alias("rows"), F.sum("n_tok").alias("items"))
+        .collect()
+    }
+    assert got == exact

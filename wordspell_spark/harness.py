@@ -1,0 +1,185 @@
+"""Spark aggregation harness — two-level mergeable-sketch builds.
+
+This is the architectural core (SURVEY.md §3.2): the Spark-native
+generalization of the reference's partial→final additive accumulator merge
+(/root/reference/components/index/models.go:58-72) and its single shared
+Bloom build loop (/root/reference/builder.go:97-119).
+
+    Stage A  mapInPandas over input partitions: one partial sketch per
+             (group key) per partition — the map-side combine.  Output is
+             tiny: ≤ |groups| rows per partition, each a byte payload.
+    Stage B  (optional, for very wide clusters) groupBy(keys, salt) partial
+             merge — the middle level of a treeAggregate.
+    Stage C  groupBy(keys) final merge → one payload per group.
+
+Why this shape at 100 TB: the shuffle after stage A moves only
+|partitions| × |groups| payloads (KBs each), never raw rows, so a skewed
+``source`` (70% web in the fixture) cannot create a hot shuffle partition of
+raw data — skew is absorbed map-side, and the optional salt level bounds the
+final merge fan-in.  No per-row Python anywhere: kernels consume whole Arrow
+batches as numpy arrays (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .sketches import SketchSpec
+
+_GLOBAL_KEY = "__all__"
+
+
+def _flatten_values(series: pd.Series) -> np.ndarray:
+    """Column values → flat numpy array; array columns are exploded in C."""
+    if series.empty:
+        return np.empty(0)
+    first = series.iloc[0]
+    if isinstance(first, (np.ndarray, list)):
+        chunks = [np.asarray(v) for v in series if v is not None and len(v)]
+        if not chunks:
+            return np.empty(0)
+        return np.concatenate(chunks)
+    vals = series.to_numpy()
+    if vals.dtype == object:
+        return vals[pd.notna(vals)]
+    return vals[~pd.isna(vals)]
+
+
+def _partial_schema(df: DataFrame, group_cols: list[str]) -> StructType:
+    fields = [df.schema[c] for c in group_cols]
+    return StructType(
+        fields
+        + [
+            StructField("sketch", BinaryType(), False),
+            StructField("rows", LongType(), False),
+            StructField("items", LongType(), False),
+        ]
+    )
+
+
+def build_sketches(
+    df: DataFrame,
+    spec: SketchSpec,
+    group_cols: list[str] | None,
+    value_col: str,
+    *,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Build one merged sketch per group over ``value_col``.
+
+    Returns DataFrame[*group_cols, sketch BINARY, rows LONG, items LONG]
+    where ``rows`` counts input rows and ``items`` counts values fed to the
+    sketch (array columns contribute their element count).
+    """
+    group_cols = list(group_cols or [])
+    if not group_cols:
+        df = df.withColumn(_GLOBAL_KEY, F.lit(_GLOBAL_KEY))
+        out = build_sketches(df, spec, [_GLOBAL_KEY], value_col, salt_buckets=salt_buckets)
+        return out.drop(_GLOBAL_KEY)
+
+    narrow = df.select(*group_cols, value_col)
+    partial_schema = _partial_schema(narrow, group_cols)
+
+    def partial_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One partial sketch per group key per *partition* (not per batch):
+        # states persist across the batch iterator = map-side combine.
+        states: dict[tuple, list] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                ent = states.get(key)
+                if ent is None:
+                    ent = states[key] = [spec.create(), 0, 0]
+                vals = _flatten_values(sub[value_col])
+                spec.update(ent[0], vals)
+                ent[1] += len(sub)
+                ent[2] += len(vals)
+        if not states:
+            return
+        rows = [(*k, spec.serialize(st), nrows, nitems) for k, (st, nrows, nitems) in states.items()]
+        yield pd.DataFrame(rows, columns=[*group_cols, "sketch", "rows", "items"])
+
+    partials = narrow.mapInPandas(partial_build, schema=partial_schema)
+
+    merge_schema = partial_schema
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = spec.merge_payloads(list(pdf["sketch"]))
+        head = pdf.iloc[[0]][group_cols].reset_index(drop=True)
+        head["sketch"] = [merged]
+        head["rows"] = [int(pdf["rows"].sum())]
+        head["items"] = [int(pdf["items"].sum())]
+        return head
+
+    if salt_buckets and salt_buckets > 1:
+        # middle tree level: merge within (key, salt) before the final merge
+        salted = partials.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+        mid = salted.groupBy(*group_cols, "__salt").applyInPandas(
+            lambda pdf: merge_group(pdf.drop(columns="__salt")).assign(__salt=pdf["__salt"].iloc[0]),
+            schema=StructType(merge_schema.fields + [StructField("__salt", LongType())]),
+        ).drop("__salt")
+        partials = mid
+
+    return partials.groupBy(*group_cols).applyInPandas(merge_group, schema=merge_schema)
+
+
+def collect_sketches(result: DataFrame, spec: SketchSpec, group_cols: list[str] | None):
+    """Driver-side: final payloads → {group_key: state} (cold-start load,
+    parity with /root/reference/service.go:42-100)."""
+    group_cols = list(group_cols or [])
+    rows = result.collect()
+    if not group_cols:
+        assert len(rows) <= 1
+        return spec.deserialize(rows[0]["sketch"]) if rows else spec.create()
+    out = {}
+    for r in rows:
+        key = tuple(r[c] for c in group_cols)
+        out[key if len(key) > 1 else key[0]] = spec.deserialize(r["sketch"])
+    return out
+
+
+# ---------------------------------------------------------------- query-side
+
+
+def make_membership_udf(spark: SparkSession, payload: bytes):
+    """Broadcast a Bloom payload; return a vectorized membership pandas UDF.
+
+    Parity: query-time ``Test`` gate at /root/reference/service.go:224.
+    """
+    from .sketches import bloom
+
+    bc = spark.sparkContext.broadcast(payload)
+
+    @F.pandas_udf("boolean")
+    def maybe_contains(values: pd.Series) -> pd.Series:
+        state = bloom.deserialize(bc.value)
+        return pd.Series(bloom.contains(state, values.to_numpy()))
+
+    return maybe_contains
+
+
+def make_cms_count_udf(spark: SparkSession, payload: bytes):
+    """Broadcast a CMS payload; vectorized point-estimate pandas UDF."""
+    from .sketches import cms
+
+    bc = spark.sparkContext.broadcast(payload)
+
+    @F.pandas_udf("long")
+    def est_count(values: pd.Series) -> pd.Series:
+        state = cms.deserialize(bc.value)
+        return pd.Series(cms.query(state, values.to_numpy()))
+
+    return est_count
