@@ -1,38 +1,618 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 plus the training-data pipeline ops
+(dedup, similarity search, multimodal, text analysis) is registered here.
+Oracle-checked queries use only engine-portable determinism: md5-derived
+64-bit hashes (`h64`), decimal-exact sums cast back to double, and rounded
+cosine/jaccard values — so the DuckDB SQL reproduces Spark bit-for-bit.
+Sketch estimates (HLL/CMS/KLL/t-digest/Bloom) are rows-only here; their
+error bounds and merge laws are asserted in tests/ (pytest) instead.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# flagship
+# =====================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: frequency-index build (scan→tokenize→count→threshold→union,
+    SURVEY.md §3.2) over the sf0.001 documents corpus."""
+    from wordspell_spark.operators.index_build import build_frequency_index
+
+    docs = _t(spark, SF_SMALL, "documents")
+    return build_frequency_index(docs, "text", ["doc_id"], thresholds={"ru": 2, "en": 2}, pair_threshold=2)
+
+
+# =====================================================================
+# DuckDB SQL fragments (shared by the oracles)
+# =====================================================================
+
+# normalize_words parity (functions/text.py): lower → clean_index alphabet →
+# drop lone " - " → whitespace split → word filter
+_NORM_WORDS = (
+    "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower({t}),"
+    " '[^a-zа-яё\\s\\-`'']', ' ', 'g'), '\\s-\\s', ' ', 'g')), '\\s+'),"
+    " w -> len(w) >= 2 and w not like '-%' and w not like '%-'"
+    " and substr(w,1,1) != '`' and substr(w,1,1) != '''')"
+)
+
+# whitespace words parity (operators/dedup.py words_of)
+_WS_WORDS = "list_filter(string_split_regex(trim(lower({t})), '\\s+'), w -> w != '')"
+
+
+def _h64(expr: str) -> str:
+    """DuckDB twin of dedup.h64 (md5 → 60-bit positive int64)."""
+    return f"cast(('0x' || substr(md5({expr}), 1, 15)) as bigint)"
+
+
+def _lang_case(w: str) -> str:
+    """DuckDB twin of functions/text.lang_of_token."""
+    return (
+        f"case when regexp_full_match({w}, '[0-9]+([.,][0-9]+)?') then 'num' "
+        f"when regexp_full_match({w}, '[а-яё\\-`'']+') then 'ru' "
+        f"when regexp_full_match({w}, '[a-z\\-`'']+') then 'en' "
+        f"else 'unknown' end"
+    )
+
+
+_TOKS_CTE = f"""
+docs as (select doc_id, {_NORM_WORDS.format(t='text')} as w from documents),
+toks as (
+    select doc_id, i as pos, w[i] as word, {_lang_case('w[i]')} as lang
+    from docs, unnest(range(1, len(w) + 1)) as t(i)
+)
+"""
+
+_UNIGRAM_SQL = f"""
+with {_TOKS_CTE}
+select lang, word, count(*) as freq
+from toks where lang in ('ru', 'en')
+group by lang, word
+"""
+
+_BIGRAM_SQL = f"""
+with {_TOKS_CTE},
+paired as (
+    select lang, word,
+           lead(word) over (partition by doc_id order by pos) as next_word,
+           lead(lang) over (partition by doc_id order by pos) as next_lang
+    from toks
+)
+select lang, word || ' ' || next_word as word, count(*) as freq
+from paired
+where next_word is not null and lang = next_lang and lang in ('ru', 'en')
+group by 1, 2
+"""
+
+_FREQ_INDEX_SQL = f"""
+with uni as ({_UNIGRAM_SQL}), bi as ({_BIGRAM_SQL}),
+unioned as (
+    select * from uni where (lang = 'ru' and freq >= 23) or (lang = 'en' and freq >= 10)
+    union all
+    select * from bi where (lang = 'ru' and freq >= 50) or (lang = 'en' and freq >= 50)
+)
+select lang, word, cast(sum(freq) as bigint) as freq from unioned group by lang, word
+"""
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "from", "that", "this", "be", "are", "was",
+]
+
+_MINHASH_NUM_PERM = 16
+_MINHASH_BAND_ROWS = 4
+_SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4
+_JACCARD_T = 0.05
+_NEARDUP_COS_T = 0.30
+
+
+def _minhash_sql() -> str:
+    from wordspell_spark.operators.dedup import _seed_masks
+
+    np_, br = _MINHASH_NUM_PERM, _MINHASH_BAND_ROWS
+    n_bands = np_ // br
+    sh_expr = (
+        "list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),"
+        " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+    )
+    sig_list = ", ".join(
+        f"list_min(list_transform(hs, h -> xor(h, cast({m} as bigint))))"
+        for m in _seed_masks(np_)
+    )
+    band_hash = _h64(
+        f"array_to_string(list_transform(sig[b*{br}+1 : b*{br}+{br}], v -> cast(v as varchar)), ',')"
+    )
+    return f"""
+with d as (select doc_id, {sh_expr} as sh
+           from (select doc_id, {_WS_WORDS.format(t='text')} as w from documents)),
+hs as (select doc_id, list_transform(sh, x -> {_h64('x')}) as hs
+       from d where len(sh) > 0),
+sig as (select doc_id, [{sig_list}] as sig from hs),
+bands as (select doc_id, b as band_idx, {band_hash} as band_hash
+          from sig, unnest(range(0, {n_bands})) as t(b))
+select distinct a.doc_id as id_a, b.doc_id as id_b
+from bands a join bands b using (band_idx, band_hash)
+where a.doc_id < b.doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    wh = _h64("t")
+    bit_terms = " + ".join(
+        f"(case when list_sum(list_transform(hs, h -> case when (h >> {b}) & 1 = 1 then 1 else -1 end)) > 0"
+        f" then cast({1 << b} as bigint) else 0 end)"
+        for b in range(_SIMHASH_BITS)
+    )
+    wbits = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << wbits) - 1
+    return f"""
+with d as (select doc_id, list_transform({_WS_WORDS.format(t='text')}, t -> {wh}) as hs
+           from documents),
+sh as (select doc_id, ({bit_terms}) as sh from d),
+bands as (select doc_id, sh, b as band_idx, (sh >> (b * {wbits})) & {mask} as band_bits
+          from sh, unnest(range(0, {_SIMHASH_BANDS})) as t(b)),
+cand as (select distinct a.doc_id as id_a, b.doc_id as id_b, a.sh as sh_a, b.sh as sh_b
+         from bands a join bands b using (band_idx, band_bits)
+         where a.doc_id < b.doc_id)
+select id_a, id_b, cast(bit_count(xor(sh_a, sh_b)) as int) as hamming
+from cand where bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+_EMB_CTE = """
+e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+      from embeddings)
+"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, t -> t * t)))"
+
+
+# =====================================================================
+# queries
+# =====================================================================
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from wordspell_spark.functions import text as T
+    from wordspell_spark.harness import build_sketches
+    from wordspell_spark.operators import dedup as D
+    from wordspell_spark.operators import index_build as IB
+    from wordspell_spark.operators import multimodal as MM
+    from wordspell_spark.operators import similarity as SIM
+    from wordspell_spark.sketches import SketchSpec
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- wordspell parity: index build path ----------------
+
+    def unigram_counts(spark, sf):
+        words = IB.tokenized_words(_t(spark, sf, "documents"), "text", ["doc_id"])
+        return IB.word_counts(words)
+
+    def bigram_counts(spark, sf):
+        words = IB.tokenized_words(_t(spark, sf, "documents"), "text", ["doc_id"])
+        return IB.bigram_counts(words, ["doc_id"])
+
+    def freq_index(spark, sf):
+        return IB.build_frequency_index(_t(spark, sf, "documents"), "text", ["doc_id"])
+
+    def top_token_per_lang(spark, sf):
+        words = IB.tokenized_words(_t(spark, sf, "documents"), "text", ["doc_id"])
+        counts = IB.word_counts(words)
+        w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("word"))
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("lang", "word", "freq")
+        )
+
+    def deletes_estimate(spark, sf):
+        # A5 sizing aggregate (index/service.go:122-138) over the built index
+        idx = IB.build_frequency_index(_t(spark, sf, "documents"), "text", ["doc_id"])
+        wl = F.length("word")
+        est = F.sum(
+            F.when(wl < 2, F.lit(0)).otherwise(
+                wl * wl + F.lit(1) + F.when(wl == 2, F.lit(3)).otherwise(F.lit(0))
+            )
+        ).cast("long")
+        return idx.groupBy("lang").agg(est.alias("est_deletes"))
+
+    # ---------------- text analysis ----------------
+
+    def doc_token_stats(spark, sf):
+        docs = _t(spark, sf, "documents")
+        words = D.words_of(F.col("text"))
+        n_words = F.size(words)
+        sum_len = F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        bpe = T.bpe_ish_token_count(F.col("text"))
+        return docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.length("text").cast("long").alias("n_chars"),
+            F.round(sum_len / F.greatest(n_words, F.lit(1)).cast("double"), 4).alias("mean_word_len"),
+            bpe.cast("long").alias("bpe_tokens"),
+        )
+
+    def doc_lang_majority(spark, sf):
+        words = IB.tokenized_words(_t(spark, sf, "documents"), "text", ["doc_id"])
+        counts = words.groupBy("doc_id", "lang").agg(F.count("*").alias("n"))
+        w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("lang"))
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("lang").alias("lang_major"), F.col("n").alias("n_tokens"))
+        )
+
+    def quality_scores(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+    def doc_fingerprints(spark, sf):
+        docs = _t(spark, sf, "documents")
+        fp = D.h64(F.concat_ws(" ", F.array_sort(D.words_of(F.col("text")))))
+        return docs.select("doc_id", fp.alias("fingerprint"))
+
+    # ---------------- dedup ----------------
+
+    def exact_dedup(spark, sf):
+        return D.exact_dedup(_t(spark, sf, "documents"))
+
+    def ngram_jaccard_dups(spark, sf):
+        return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=_JACCARD_T)
+
+    def minhash_lsh_dups(spark, sf):
+        return D.minhash_lsh_pairs(
+            _t(spark, sf, "documents"), num_perm=_MINHASH_NUM_PERM, band_rows=_MINHASH_BAND_ROWS
+        )
+
+    def simhash_dups(spark, sf):
+        return D.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3, n_bands=_SIMHASH_BANDS)
+
+    def embedding_neardup(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        v = emb.select(F.col("vec_id"), SIM.as_double(F.col("embedding")).alias("v"))
+        a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+        b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+        sim = F.round(SIM.cosine(F.col("va"), F.col("vb")), 6)
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= _NEARDUP_COS_T)
+        )
+
+    # ---------------- similarity search ----------------
+
+    def embedding_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
+        return SIM.brute_force_topk(emb, q, k=5)
+
+    def ann_lsh_topk(spark, sf):  # rows-only: recall asserted in pytest
+        emb = _t(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
+        return SIM.lsh_topk(emb, q, k=5)
+
+    def embedding_neardup_lsh(spark, sf):  # rows-only scale path
+        return SIM.embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=_NEARDUP_COS_T)
+
+    # ---------------- multimodal ----------------
+
+    def multimodal_metadata(spark, sf):
+        return MM.multimodal_metadata(_t(spark, sf, "documents"))
+
+    # ---------------- relational core (TPC-H-ish) ----------------
+
+    def pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,2)")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("double")
+                .alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    def top_customers(spark, sf):
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        rev = orders.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        return (
+            rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "revenue", "n_orders")
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(10)
+        )
+
+    def events_sessions(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # parquet ts is TIMESTAMP_NTZ; gaps are offset-invariant, so the LTZ
+        # cast is safe regardless of session timezone
+        us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+        gap = us - F.lag(us).over(w)
+        new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        return (
+            ev.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(
+                F.sum("new_sess").cast("long").alias("n_sessions"),
+                F.count("*").alias("n_events"),
+                F.max("value").alias("max_value"),
+            )
+        )
+
+    # ---------------- sketches (rows-only; bounds asserted in pytest) ----------------
+
+    def hll_distinct_per_source(spark, sf):
+        docs = _t(spark, sf, "documents")
+        words = docs.select("source", F.explode(D.words_of(F.col("text"))).alias("word"))
+        out = build_sketches(words, SketchSpec("hll", {"p": 12}), ["source"], "word")
+        from wordspell_spark.sketches import hll
+
+        est = F.udf(lambda p: float(hll.estimate(hll.deserialize(bytes(p)))), "double")
+        return out.select("source", F.round(est("sketch"), 2).alias("est_distinct"), "items")
+
+    def cms_top_tokens(spark, sf):
+        docs = _t(spark, sf, "documents")
+        words = docs.select(F.explode(D.words_of(F.col("text"))).alias("word"))
+        out = build_sketches(words, SketchSpec("cms", {"eps": 0.001, "delta": 0.01}), None, "word")
+        payload = bytes(out.first()["sketch"])
+        from wordspell_spark.harness import make_cms_count_udf
+
+        top = words.groupBy("word").agg(F.count("*").alias("exact")).orderBy(F.desc("exact"), "word").limit(20)
+        est = make_cms_count_udf(spark, payload)
+        return top.select("word", "exact", est("word").alias("cms_est"))
+
+    def kll_nchars_quantiles(spark, sf):
+        docs = _t(spark, sf, "documents")
+        out = build_sketches(docs, SketchSpec("kll", {"k": 200}), None, "n_chars")
+        payload = bytes(out.first()["sketch"])
+        from wordspell_spark.sketches import kll
+
+        state = kll.deserialize(payload)
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        vals = kll.quantile(state, qs)
+        return spark.createDataFrame(
+            [(float(q), float(v)) for q, v in zip(qs, vals)], "q double, n_chars_q double"
+        )
+
+    def tdigest_nchars_quantiles(spark, sf):
+        docs = _t(spark, sf, "documents")
+        out = build_sketches(docs, SketchSpec("tdigest", {"delta": 100.0}), None, "n_chars")
+        payload = bytes(out.first()["sketch"])
+        from wordspell_spark.sketches import tdigest
+
+        state = tdigest.deserialize(payload)
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        vals = tdigest.quantile(state, qs)
+        return spark.createDataFrame(
+            [(float(q), float(v)) for q, v in zip(qs, vals)], "q double, n_chars_q double"
+        )
+
+    def bloom_correct_queries(spark, sf):
+        # end-to-end wordspell path: index → deletion bloom → correction of
+        # deterministically misspelled queries (drop char at len%7)
+        from wordspell_spark.operators.spell import build_deletion_bloom, correct_queries
+
+        docs = _t(spark, sf, "documents")
+        idx = IB.build_frequency_index(docs, "text", ["doc_id"], thresholds={"ru": 2, "en": 2}, include_pairs=False)
+        payload = build_deletion_bloom(idx, fpr=0.01)
+        top = idx.orderBy(F.desc("freq"), "word").limit(50)
+        misspelled = top.select(
+            F.when(
+                F.length("word") >= 3,
+                F.concat(F.expr("substring(word, 1, length(word) % 7)"), F.expr("substring(word, length(word) % 7 + 2)")),
+            )
+            .otherwise(F.col("word"))
+            .alias("query")
+        ).distinct()
+        return correct_queries(misspelled, idx, payload).orderBy("query")
+
+    return {
+        "unigram_counts": unigram_counts,
+        "bigram_counts": bigram_counts,
+        "freq_index": freq_index,
+        "top_token_per_lang": top_token_per_lang,
+        "deletes_estimate": deletes_estimate,
+        "doc_token_stats": doc_token_stats,
+        "doc_lang_majority": doc_lang_majority,
+        "quality_scores": quality_scores,
+        "doc_fingerprints": doc_fingerprints,
+        "exact_dedup": exact_dedup,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "minhash_lsh_dups": minhash_lsh_dups,
+        "simhash_dups": simhash_dups,
+        "embedding_neardup": embedding_neardup,
+        "embedding_topk": embedding_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+        "multimodal_metadata": multimodal_metadata,
+        "pricing_summary": pricing_summary,
+        "top_customers": top_customers,
+        "events_sessions": events_sessions,
+        "hll_distinct_per_source": hll_distinct_per_source,
+        "cms_top_tokens": cms_top_tokens,
+        "kll_nchars_quantiles": kll_nchars_quantiles,
+        "tdigest_nchars_quantiles": tdigest_nchars_quantiles,
+        "bloom_correct_queries": bloom_correct_queries,
+    }
+
+
+# =====================================================================
+# oracles
+# =====================================================================
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return {
+        "unigram_counts": _UNIGRAM_SQL,
+        "bigram_counts": _BIGRAM_SQL,
+        "freq_index": _FREQ_INDEX_SQL,
+        "top_token_per_lang": f"""
+with uni as ({_UNIGRAM_SQL}),
+ranked as (select *, row_number() over (partition by lang order by freq desc, word asc) rn from uni)
+select lang, word, freq from ranked where rn = 1
+""",
+        "deletes_estimate": f"""
+with idx as ({_FREQ_INDEX_SQL})
+select lang,
+       cast(sum(case when len(word) < 2 then 0
+                     else len(word) * len(word) + 1 + case when len(word) = 2 then 3 else 0 end end) as bigint)
+           as est_deletes
+from idx group by lang
+""",
+        "doc_token_stats": f"""
+with d as (select doc_id, text, {_WS_WORDS.format(t='text')} as w from documents),
+p as (select doc_id, text,
+             list_filter(string_split_regex(trim(regexp_replace(text, '([^\\w\\s])', ' \\1 ', 'g')), '\\s+'),
+                         t -> t != '') as pw
+      from d)
+select d.doc_id,
+       cast(len(d.w) as int) as n_words,
+       cast(strlen(d.text) as bigint) as n_chars,
+       round(cast(coalesce(list_sum(list_transform(d.w, t -> strlen(t))), 0) as double)
+             / cast(greatest(len(d.w), 1) as double), 4) as mean_word_len,
+       cast(coalesce(list_sum(list_transform(p.pw, t -> cast(ceil(strlen(t) / 4.0) as int))), 0) as bigint)
+           as bpe_tokens
+from d join p using (doc_id)
+""",
+        "doc_lang_majority": f"""
+with {_TOKS_CTE},
+counts as (select doc_id, lang, count(*) as n from toks group by 1, 2),
+ranked as (select *, row_number() over (partition by doc_id order by n desc, lang asc) rn from counts)
+select doc_id, lang as lang_major, n as n_tokens from ranked where rn = 1
+""",
+        "quality_scores": f"""
+with d as (select doc_id, text, {_WS_WORDS.format(t='text')} as w,
+                  greatest(strlen(text), 1) as n_chars
+           from documents)
+select doc_id,
+       round(
+         (strlen(regexp_replace(text, '[^A-Za-zа-яА-Я ]', '', 'g')) / n_chars) * 0.4
+         + least(len(list_intersect(w, [{stop_list}])) / 3.0, 1.0) * 0.3
+         + (case when strlen(text) / greatest(len(w), 1) >= 3
+                  and strlen(text) / greatest(len(w), 1) <= 12 then 1.0 else 0.3 end) * 0.2
+         + (1 - least((strlen(regexp_replace(text, '[^!?.,;:*%#@$^&]', '', 'g')) / n_chars) * 5, 1.0)) * 0.1,
+         4) as quality
+from d
+""",
+        "doc_fingerprints": f"""
+select doc_id,
+       {_h64(f"array_to_string(list_sort({_WS_WORDS.format(t='text')}), ' ')")} as fingerprint
+from documents
+""",
+        "exact_dedup": f"""
+with f as (select doc_id,
+                  {_h64(f"array_to_string(list_sort({_WS_WORDS.format(t='text')}), ' ')")} as fingerprint
+           from documents)
+select fingerprint, min(doc_id) as keep_id, count(*) as n_dups from f group by fingerprint
+""",
+        "ngram_jaccard_dups": f"""
+with d as (select doc_id, source,
+                  list_sort(list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) as sh
+           from (select doc_id, source, {_WS_WORDS.format(t='text')} as w from documents))
+select a.doc_id as id_a, b.doc_id as id_b,
+       round(cast(len(list_intersect(a.sh, b.sh)) as double)
+             / cast(len(list_distinct(a.sh || b.sh)) as double), 6) as jaccard
+from d a join d b on a.source = b.source and a.doc_id < b.doc_id
+where len(a.sh) > 0 and len(b.sh) > 0
+  and round(cast(len(list_intersect(a.sh, b.sh)) as double)
+            / cast(len(list_distinct(a.sh || b.sh)) as double), 6) >= {_JACCARD_T}
+""",
+        "minhash_lsh_dups": _minhash_sql(),
+        "simhash_dups": _simhash_sql(),
+        "embedding_neardup": f"""
+with {_EMB_CTE}
+select a.vec_id as id_a, b.vec_id as id_b,
+       round({_dot_sql('a.v', 'b.v')} / ({_norm_sql('a.v')} * {_norm_sql('b.v')}), 6) as cos_sim
+from e a, e b
+where a.vec_id < b.vec_id
+  and round({_dot_sql('a.v', 'b.v')} / ({_norm_sql('a.v')} * {_norm_sql('b.v')}), 6) >= {_NEARDUP_COS_T}
+""",
+        "embedding_topk": f"""
+with {_EMB_CTE},
+q as (select vec_id as query_id, v as qv from e where vec_id % 50 = 0),
+scored as (
+    select query_id, e.vec_id as neighbor_id,
+           round({_dot_sql('qv', 'e.v')} / ({_norm_sql('qv')} * {_norm_sql('e.v')}), 6) as cos_sim
+    from q, e where query_id != e.vec_id
+),
+ranked as (select *, cast(row_number() over (partition by query_id order by cos_sim desc, neighbor_id asc) as int) as rank
+           from scored)
+select query_id, neighbor_id, cos_sim, rank from ranked where rank <= 5
+""",
+        "multimodal_metadata": """
+select doc_id,
+       cast(strlen(text) as int) as n_bytes,
+       cast(cast(('0x' || substr(md5(text), 1, 4)) as int) % 1920 + 1 as int) as width,
+       cast(cast(('0x' || substr(md5(text), 5, 4)) as int) % 1080 + 1 as int) as height,
+       (['jpeg', 'png', 'webp'])[cast(('0x' || substr(md5(text), 9, 2)) as int) % 3 + 1] as format
+from documents
+""",
+        "pricing_summary": """
+select l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+       cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double)
+           as sum_disc_price,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+""",
+        "top_customers": """
+with rev as (
+    select o_custkey, cast(sum(cast(o_totalprice as decimal(18,2))) as double) as revenue,
+           count(*) as n_orders
+    from orders group by o_custkey
+)
+select c_custkey, c_name, revenue, n_orders
+from rev join customer on o_custkey = c_custkey
+order by revenue desc, c_custkey asc limit 10
+""",
+        "events_sessions": """
+with g as (
+    select user_id,
+           case when lag(epoch_us(ts)) over (partition by user_id order by ts, event_id) is null
+                  or epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id order by ts, event_id)
+                     > 1800000000
+                then 1 else 0 end as new_sess,
+           value
+    from events
+)
+select user_id, cast(sum(new_sess) as bigint) as n_sessions, count(*) as n_events,
+       max(value) as max_value
+from g group by user_id
+""",
+    }

@@ -1,0 +1,162 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: total wall-seconds across the headline queries.  The
+north-rule throughput figure (sketch-build tokens/sec over the tokenized
+``sequences`` table) is reported alongside in ``extra``; the two-parallelism
+scaling-efficiency evidence lives in tools/scaling_bench.py → BENCH.md.
+
+Run:  python bench.py            (sf0.1, local[$SPARK_GRAFT_CPUS or 32])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEQ_ROWS = int(os.environ.get("WORDSPELL_BENCH_SEQ_ROWS", "200000"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("wordspell-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Returns ({query: seconds}, extra_metrics)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from wordspell_spark.harness import build_sketches
+    from wordspell_spark.operators import dedup as D
+    from wordspell_spark.operators import index_build as IB
+    from wordspell_spark.operators import similarity as SIM
+    from wordspell_spark.operators.spell import build_deletion_bloom, correct_queries
+    from wordspell_spark.sketches import SketchSpec
+    from wordspell_spark.sources.fixtures import sequences_path
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def run(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        return out
+
+    # -- q_sketch_build: all five sketch kinds over the sequences table
+    #    (the north-rule job; throughput in tokens/sec)
+    seq = spark.read.parquet(sequences_path(SEQ_ROWS))
+    seq = seq.repartition(max(CPUS, 8)).cache()
+    n_tokens = seq.select(F.sum("n_tok")).first()[0]
+
+    def sketch_build():
+        for kind, params, col in [
+            ("bloom", {"n_estimate": 2_000_000, "fpr": 0.005}, "tokens"),
+            ("hll", {"p": 12}, "tokens"),
+            ("cms", {"eps": 0.0005, "delta": 0.01}, "tokens"),
+            ("kll", {"k": 200}, "n_tok"),
+            ("tdigest", {"delta": 100.0}, "n_tok"),
+        ]:
+            build_sketches(seq, SketchSpec(kind, params), ["source"], col).collect()
+
+    run("q_sketch_build_5kinds", sketch_build)
+    extra["sketch_build_tokens_per_sec"] = round(5 * n_tokens / timings["q_sketch_build_5kinds"], 1)
+    extra["sketch_build_input_tokens"] = float(n_tokens)
+
+    # -- merge latency: final merge of pre-built partials (north-rule metric)
+    from wordspell_spark.harness import _GLOBAL_KEY  # noqa: F401
+
+    partials = build_sketches(seq, SketchSpec("hll", {"p": 12}), ["source"], "tokens")
+    partials.collect()
+
+    def merge_only():
+        build_sketches(seq, SketchSpec("hll", {"p": 12}), None, "tokens").collect()
+
+    run("q_hll_global_merge", merge_only)
+
+    # repartition: the single small parquet file would otherwise pin all the
+    # heavy per-row expression work (minhash/simhash/decode) onto 1-2 tasks
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(max(CPUS, 8)).cache()
+    docs.count()
+
+    # -- wordspell path: index build, bloom build, correction throughput
+    idx = run(
+        "q_freq_index",
+        lambda: IB.build_frequency_index(docs, "text", ["doc_id"], thresholds={"ru": 2, "en": 2}).cache(),
+    )
+    idx.count()
+    payload = run("q_bloom_build", lambda: build_deletion_bloom(idx, fpr=0.005))
+
+    qdf = (
+        docs.select(F.explode(D.words_of(F.col("text"))).alias("w"))
+        .limit(20000)
+        .select(F.concat(F.substring("w", 1, 2), F.substring("w", 4, 99)).alias("query"))
+        .repartition(max(CPUS, 8))  # limit() collapses to one partition
+    ).cache()
+    n_queries = qdf.count()
+    run("q_correct_queries", lambda: correct_queries(qdf, idx, payload).foreach(lambda r: None))
+    extra["correction_queries_per_sec"] = round(n_queries / timings["q_correct_queries"], 1)
+
+    # -- dedup + similarity + relational headliners
+    run("q_minhash_lsh_dedup", lambda: D.minhash_lsh_pairs(docs).count())
+    run("q_simhash_dedup", lambda: D.simhash_pairs(docs).count())
+    run("q_exact_dedup", lambda: D.exact_dedup(docs).count())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(max(CPUS, 8)).cache()
+    emb.count()
+    q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
+    run("q_ann_lsh_topk", lambda: SIM.lsh_topk(emb, q, k=5).count())
+
+    qs = E.queries()
+    run("q_pricing_summary", lambda: qs["pricing_summary"](spark, sf_dir).collect())
+    run("q_events_sessions", lambda: qs["events_sessions"](spark, sf_dir).collect())
+
+    return timings, extra
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings, extra = bench_queries(spark, SF_DIR)
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

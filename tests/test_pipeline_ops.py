@@ -1,0 +1,237 @@
+"""Tests for training-pipeline operators: dedup, similarity, multimodal,
+checkpoint/resume.  Mirrors the reference's golden-value test style
+(SURVEY.md §5) with exact oracles computed in pure Python."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    # (doc_id, text, source) — crafted duplicates/near-duplicates
+    (0, "the quick brown fox jumps over the lazy dog", "a"),
+    (1, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup of 0
+    (2, "dog lazy the over jumps fox brown quick the", "a"),  # same word multiset
+    (3, "the quick brown fox jumps over the lazy cat", "a"),  # near dup of 0
+    (4, "completely different words about spark engines here", "a"),
+    (5, "completely different words about spark engines here now", "b"),
+    (6, "unrelated text regarding benchmark harness quality", "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def _exact_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+class TestExactDedup:
+    def test_groups_word_multiset_duplicates(self, docs_df):
+        from wordspell_spark.operators.dedup import exact_dedup
+
+        out = {r["keep_id"]: r["n_dups"] for r in exact_dedup(docs_df).collect()}
+        # docs 0,1,2 share the same sorted word multiset → one group kept at min id
+        assert out[0] == 3
+        assert out[3] == 1
+        assert sum(out.values()) == len(DOCS)
+
+
+class TestJaccard:
+    def test_matches_exact_jaccard(self, docs_df):
+        from wordspell_spark.operators.dedup import ngram_jaccard_pairs
+
+        rows = ngram_jaccard_pairs(docs_df, threshold=0.05).collect()
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+        # every reported pair matches the python oracle to rounding
+        text = {d[0]: d[1] for d in DOCS}
+        for (a, b), j in got.items():
+            assert abs(j - round(_exact_jaccard(text[a], text[b]), 6)) < 1e-9
+        assert (0, 1) in got and got[(0, 1)] == 1.0
+        assert (0, 3) in got  # near dup detected
+
+    def test_blocking_excludes_cross_source(self, docs_df):
+        from wordspell_spark.operators.dedup import ngram_jaccard_pairs
+
+        rows = ngram_jaccard_pairs(docs_df, threshold=0.01).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in rows}
+        assert (4, 5) not in pairs  # near-dups but different source blocks
+
+
+class TestMinHash:
+    def test_identical_docs_always_pair(self, docs_df):
+        from wordspell_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs_df).collect()}
+        assert (0, 1) in pairs  # identical signatures → all bands agree
+
+    def test_lsh_candidates_have_high_estimated_jaccard(self, docs_df):
+        # every returned candidate pair should share at least one band; check
+        # none of the fully-unrelated docs pair with the fox cluster
+        from wordspell_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs_df).collect()}
+        assert (0, 6) not in pairs and (1, 6) not in pairs
+
+
+class TestSimHash:
+    def test_near_dups_within_hamming(self, docs_df):
+        from wordspell_spark.operators.dedup import simhash_pairs
+
+        rows = simhash_pairs(docs_df, max_hamming=8, n_bands=16).collect()
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+        assert got.get((0, 1)) == 0  # identical text → distance 0
+        # doc 2 is a permutation of 0 → identical word multiset → distance 0
+        assert got.get((0, 2)) == 0
+
+    def test_banding_is_complete_for_small_distance(self, docs_df, spark):
+        # brute-force oracle: any pair with hamming <= 3 must be found
+        from wordspell_spark.operators.dedup import simhash32, simhash_pairs
+
+        sh = {
+            r["doc_id"]: r["sh"]
+            for r in docs_df.select("doc_id", simhash32(F.col("text")).alias("sh")).collect()
+        }
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sh), 2)
+            if bin(sh[a] ^ sh[b]).count("1") <= 3
+        }
+        got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs_df, max_hamming=3).collect()}
+        assert got == want
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((10, 16)).astype(np.float32)
+    rows = []
+    for i in range(50):
+        v = base[i % 10] + rng.standard_normal(16).astype(np.float32) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _cos(a, b):
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, emb_df):
+        from wordspell_spark.operators.similarity import brute_force_topk
+
+        vecs = {r["vec_id"]: r["embedding"] for r in emb_df.collect()}
+        q = emb_df.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+        out = brute_force_topk(emb_df, q, k=3).collect()
+        for r in out:
+            exact = sorted(
+                ((_cos(vecs[r["query_id"]], v), i) for i, v in vecs.items() if i != r["query_id"]),
+                key=lambda t: (-round(t[0], 6), t[1]),
+            )
+            want_sim, want_id = exact[r["rank"] - 1]
+            assert r["neighbor_id"] == want_id
+            assert abs(r["cos_sim"] - round(want_sim, 6)) < 1e-9
+
+    def test_lsh_recall_vs_brute_force(self, emb_df):
+        from wordspell_spark.operators.similarity import brute_force_topk, lsh_topk
+
+        q = emb_df.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+        brute = {
+            (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb_df, q, k=3).collect()
+        }
+        approx = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(emb_df, q, k=3).collect()}
+        recall = len(brute & approx) / len(brute)
+        # clustered data + 4 bands of 2 planes → near-total recall
+        assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+    def test_neardup_pairs_are_truly_similar(self, emb_df):
+        from wordspell_spark.operators.similarity import embedding_neardup_pairs
+
+        vecs = {r["vec_id"]: r["embedding"] for r in emb_df.collect()}
+        rows = embedding_neardup_pairs(emb_df, threshold=0.9).collect()
+        assert rows, "clustered fixture must contain near-dups"
+        for r in rows:
+            assert round(_cos(vecs[r["id_a"]], vecs[r["id_b"]]), 6) >= 0.9
+
+
+class TestMultimodal:
+    def test_decode_schema_and_determinism(self, docs_df):
+        from wordspell_spark.operators.multimodal import FEATURE_DIM, attach_binary, decode_metadata
+
+        out = decode_metadata(attach_binary(docs_df)).collect()
+        assert len(out) == len(DOCS)
+        by_id = {r["doc_id"]: r for r in out}
+        text = {d[0]: d[1] for d in DOCS}
+        for i, r in by_id.items():
+            assert r["n_bytes"] == len(text[i].encode())
+            assert 1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080
+            assert r["format"] in ("jpeg", "png", "webp")
+            assert len(r["features"]) == FEATURE_DIM
+            assert abs(float(np.linalg.norm(r["features"])) - 1.0) < 1e-5
+        # identical payloads (docs 0 and 1) → identical decode
+        assert by_id[0]["width"] == by_id[1]["width"]
+        assert list(by_id[0]["features"]) == list(by_id[1]["features"])
+
+
+class TestCheckpointResume:
+    def test_resume_equals_oneshot(self, spark, sequences_small, tmp_path):
+        from wordspell_spark.operators.checkpoint import (
+            completed_buckets,
+            finalize,
+            lineage_metrics,
+            run_checkpointed_build,
+        )
+        from wordspell_spark.sketches import SketchSpec, hll
+
+        spec = SketchSpec("hll", {"p": 12})
+        ckpt = str(tmp_path / "ckpt")
+        df = sequences_small.limit(2000)
+
+        # run 1: killed after 3 of 8 buckets
+        n1 = run_checkpointed_build(df, spec, ["source"], "tokens", "doc_id", ckpt, "job1", n_buckets=8, max_buckets_this_run=3)
+        assert n1 == 3
+        assert len(completed_buckets(spark, ckpt, "job1")) == 3
+        with pytest.raises(RuntimeError, match="buckets missing"):
+            finalize(spark, spec, ["source"], ckpt, "job1", n_buckets=8)
+
+        # run 2: resume the remaining 5
+        n2 = run_checkpointed_build(df, spec, ["source"], "tokens", "doc_id", ckpt, "job1", n_buckets=8)
+        assert n2 == 5
+        resumed = {
+            r["source"]: hll.estimate(hll.deserialize(bytes(r["sketch"])))
+            for r in finalize(spark, spec, ["source"], ckpt, "job1", n_buckets=8).collect()
+        }
+
+        # oracle: single-shot build
+        from wordspell_spark.harness import build_sketches
+
+        oneshot = {
+            r["source"]: hll.estimate(hll.deserialize(bytes(r["sketch"])))
+            for r in build_sketches(df, spec, ["source"], "tokens").collect()
+        }
+        assert resumed == oneshot
+
+        # lineage metrics account for every input row exactly once
+        m = lineage_metrics(spark, ckpt, "job1").groupBy().agg(F.sum("rows")).first()[0]
+        assert m == df.count()
+
+    def test_rerun_is_noop(self, spark, sequences_small, tmp_path):
+        from wordspell_spark.operators.checkpoint import run_checkpointed_build
+        from wordspell_spark.sketches import SketchSpec
+
+        spec = SketchSpec("hll", {"p": 12})
+        ckpt = str(tmp_path / "ckpt2")
+        df = sequences_small.limit(500)
+        assert run_checkpointed_build(df, spec, [], "tokens", "doc_id", ckpt, "j", n_buckets=4) == 4
+        assert run_checkpointed_build(df, spec, [], "tokens", "doc_id", ckpt, "j", n_buckets=4) == 0
