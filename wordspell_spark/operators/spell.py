@@ -197,15 +197,51 @@ def lang_majority(words: np.ndarray) -> np.ndarray:
     num: all digits with at most one '.' or ','; ru/en: legal-rune majority
     with ≤2 illegal runes (so bigram keys like "le ft" classify as their
     word language — required for split-tier index probes).
+
+    Implemented as pure numpy over codepoints (one utf-32 decode of the
+    concatenated batch + reduceat) — the candidate tiers classify millions
+    of generated strings per batch, and per-string regexes dominated the
+    profile (~20× slower than this).
     """
-    s = pd.Series(np.asarray(words, dtype=object), dtype=object).astype(str)
-    n = s.str.len().to_numpy()
-    out = np.full(len(s), "unknown", dtype=object)
-    is_num = s.str.fullmatch(r"[0-9]*[.,]?[0-9]*").to_numpy() & (n > 0)
-    cyr = s.str.count(r"[Ѐ-ԯ-]").to_numpy()
-    ru = (cyr > n - cyr) & ((n - cyr) <= 2)
-    enl = s.str.count(r"[A-Za-z\-`']").to_numpy()
+    words = np.asarray(words, dtype=object)
+    m = len(words)
+    if m == 0:
+        return np.empty(0, dtype=object)
+    lens = np.fromiter((len(w) for w in words), count=m, dtype=np.int64)
+    chars = np.frombuffer("".join(words).encode("utf-32-le"), dtype=np.uint32)
+    # reduceat needs strictly valid offsets; zero-length words get a dummy
+    # offset then are masked to counts of 0
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    empty = lens == 0
+    safe_offsets = np.minimum(offsets, max(len(chars) - 1, 0))
+
+    def seg_count(mask_chars: np.ndarray) -> np.ndarray:
+        if len(chars) == 0:
+            return np.zeros(m, dtype=np.int64)
+        c = np.add.reduceat(mask_chars.astype(np.int64), safe_offsets)
+        return np.where(empty, 0, c)
+
+    DASH, BTICK, QUOTE = ord("-"), ord("`"), ord("'")
+    is_cyr = ((chars >= 0x400) & (chars <= 0x52F)) | (chars == DASH)
+    is_lat = (
+        ((chars >= 97) & (chars <= 122))
+        | ((chars >= 65) & (chars <= 90))
+        | (chars == DASH)
+        | (chars == BTICK)
+        | (chars == QUOTE)
+    )
+    is_dig = (chars >= 48) & (chars <= 57)
+    is_sep = (chars == 46) | (chars == 44)
+
+    n = lens
+    cyr = seg_count(is_cyr)
+    enl = seg_count(is_lat)
+    dig = seg_count(is_dig)
+    sep = seg_count(is_sep)
+    out = np.full(m, "unknown", dtype=object)
     en = (enl > n - enl) & ((n - enl) <= 2)
+    ru = (cyr > n - cyr) & ((n - cyr) <= 2)
+    is_num = (dig + sep == n) & (sep <= 1) & (n > 0)
     out[en] = "en"
     out[ru & ~en] = "ru"
     out[is_num] = "num"
@@ -280,36 +316,64 @@ def correct_token_batch(
     status[merge_at] = 1
     status[np.concatenate([[False], merge_at[:-1]])] = 2
 
-    # ---- split tier (splittedWord first, service.go:114 & :189-208)
+    # ---- per-word tiers, deduplicated: real query streams are Zipfian, so
+    # the same token appears many times per batch — correct each DISTINCT
+    # word once and scatter (reference dedups whole queries the same way,
+    # examples/speller/main.go:61-75)
     act = np.flatnonzero(status == 0)
     if act.size:
-        wi, spos, cands = M.split_candidates(lower[act])
-        if len(cands):
-            w = _weight(probe, cands)
-            hit = w > 0
-            if hit.any():
-                best = _best_per_group(wi[hit], -w[hit], spos[hit])
-                rows = act[wi[hit][best]]
-                out[rows] = cands[hit][best]
-                status[rows] = 1
-
-    # ---- exact tier (correctWord head, service.go:213-215)
-    act = np.flatnonzero(status == 0)
-    if act.size:
-        hit = _weight(probe, lower[act], langs[act]) > 0
-        status[act[hit]] = 1  # out already holds the lowercased token
-
-    # ---- deletes tier + bloom-gated insert tiers (service.go:217-241)
-    act = np.flatnonzero(status == 0)
-    if act.size:
-        rows, vals = _delete_insert_tiers(lower[act], probe, bloom_state)
-        out[act[rows]] = vals
-        status[act[rows]] = 1
+        uniq, inv = np.unique(lower[act].astype(str)), None
+        uniq = uniq.astype(object)
+        inv = np.searchsorted(uniq, lower[act].astype(str))
+        vals, resolved = _correct_words(uniq, probe, bloom_state)
+        hit = resolved[inv]
+        rows = act[hit]
+        out[rows] = vals[inv][hit]
+        status[rows] = 1
 
     # ---- unresolved: return as typed (service.go:243)
     out[status == 0] = orig[status == 0]
     keep = status != 2
     return out, keep
+
+
+def _correct_words(words: np.ndarray, probe: IndexProbe, bloom_state) -> tuple[np.ndarray, np.ndarray]:
+    """Single-word correction tiers over DISTINCT lowercase words.
+
+    Tier order per word is the reference's: split (splittedWord,
+    service.go:114,189-208) → exact (service.go:213-215) → deletes +
+    bloom-gated inserts (service.go:217-241).  Returns (values, resolved).
+    """
+    n = len(words)
+    out = np.asarray(words, dtype=object).copy()
+    resolved = np.zeros(n, dtype=bool)
+    langs = lang_majority(words)
+
+    # ---- split tier
+    wi, spos, cands = M.split_candidates(out)
+    if len(cands):
+        w = _weight(probe, cands)
+        hit = w > 0
+        if hit.any():
+            best = _best_per_group(wi[hit], -w[hit], spos[hit])
+            rows = wi[hit][best]
+            out[rows] = cands[hit][best]
+            resolved[rows] = True
+
+    # ---- exact tier
+    act = np.flatnonzero(~resolved)
+    if act.size:
+        hit = _weight(probe, out[act], langs[act]) > 0
+        resolved[act[hit]] = True  # out already holds the word
+
+    # ---- deletes tier + bloom-gated insert tiers
+    act = np.flatnonzero(~resolved)
+    if act.size:
+        rows, vals = _delete_insert_tiers(out[act], probe, bloom_state)
+        out[act[rows]] = vals
+        resolved[act[rows]] = True
+
+    return out, resolved
 
 
 _INS2_CHUNK = 8  # deletes per level-2 expansion chunk (bounds transient memory)
