@@ -131,3 +131,38 @@ def test_rows_items_metrics(spark, sequences_small):
         .collect()
     }
     assert got == exact
+
+
+class TestMultiSketchBuild:
+    def test_single_pass_matches_per_kind_builds(self, spark, sequences_small):
+        from wordspell_spark.harness import build_sketches, build_sketches_multi
+        from wordspell_spark.sketches import SketchSpec, deserialize_any, hll, kll
+
+        df = sequences_small.limit(3000)
+        specs = {
+            "hll": (SketchSpec("hll", {"p": 12}), "tokens"),
+            "kll": (SketchSpec("kll", {"k": 200}), "n_tok"),
+        }
+        multi = build_sketches_multi(df, specs, ["source"]).collect()
+        assert {r["kind"] for r in multi} == {"hll", "kll"}
+
+        hll_multi = {
+            r["source"]: hll.estimate(hll.deserialize(bytes(r["sketch"])))
+            for r in multi if r["kind"] == "hll"
+        }
+        hll_single = {
+            r["source"]: hll.estimate(hll.deserialize(bytes(r["sketch"])))
+            for r in build_sketches(df, specs["hll"][0], ["source"], "tokens").collect()
+        }
+        assert hll_multi == hll_single
+
+        # rows metric counts input rows per group for every kind
+        rows_by_kind = {}
+        for r in multi:
+            rows_by_kind.setdefault(r["kind"], 0)
+            rows_by_kind[r["kind"]] += r["rows"]
+        assert rows_by_kind["hll"] == rows_by_kind["kll"] == df.count()
+
+        # payloads self-describe their kind
+        kind, _ = deserialize_any(bytes(multi[0]["sketch"]))
+        assert kind == multi[0]["kind"]

@@ -1,0 +1,69 @@
+"""Structured Streaming incremental sketch maintenance (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from wordspell_spark.sources.fixtures import sequences_table
+
+SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+@pytest.fixture()
+def chunked_input(tmp_path):
+    """Two parquet files landing at different times in one input dir."""
+    tbl = sequences_table(4000)
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    pq.write_table(tbl.slice(0, 2000), str(d / "part-0.parquet"))
+    return d, tbl
+
+
+def test_incremental_equals_batch(spark, tmp_path, chunked_input):
+    from wordspell_spark.sketches import SketchSpec, hll
+    from wordspell_spark.streaming.incremental import incremental_sketch_query, read_state
+
+    input_dir, tbl = chunked_input
+    spec = SketchSpec("hll", {"p": 12})
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = incremental_sketch_query(
+            spark, str(input_dir), SCHEMA, spec, ["source"], "tokens", state, ckpt
+        )
+        q.awaitTermination()
+
+    # epoch 1: first file only
+    run_stream()
+    first = {
+        r["source"]: hll.estimate(hll.deserialize(bytes(r["sketch"])))
+        for r in read_state(spark, state).collect()
+    }
+    assert first
+
+    # second file lands; re-run with the same checkpoint → only new file read
+    pq.write_table(tbl.slice(2000, 2000), str(input_dir / "part-1.parquet"))
+    run_stream()
+    final_rows = read_state(spark, state).collect()
+    final = {
+        r["source"]: hll.estimate(hll.deserialize(bytes(r["sketch"])))
+        for r in final_rows
+    }
+
+    # oracle: one-shot batch build over the full table
+    from wordspell_spark.harness import build_sketches
+
+    full_df = spark.createDataFrame(tbl.to_pandas(), SCHEMA)
+    batch = {
+        r["source"]: hll.estimate(hll.deserialize(bytes(r["sketch"])))
+        for r in build_sketches(full_df, spec, ["source"], "tokens").collect()
+    }
+    assert final == batch
+
+    # lineage metrics absorbed every row exactly once
+    assert sum(r["rows"] for r in final_rows) == 4000

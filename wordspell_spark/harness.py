@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -134,6 +135,76 @@ def build_sketches(
         partials = mid
 
     return partials.groupBy(*group_cols).applyInPandas(merge_group, schema=merge_schema)
+
+
+def build_sketches_multi(
+    df: DataFrame,
+    specs: dict[str, tuple[SketchSpec, str]],
+    group_cols: list[str],
+) -> DataFrame:
+    """Build SEVERAL sketch kinds per group in ONE pass over the data.
+
+    ``specs``: {kind_name: (SketchSpec, value_col)}.  Returns a long-format
+    DataFrame[*group_cols, kind STRING, sketch BINARY, rows LONG, items LONG].
+
+    Why: at 100 TB the scan IS the cost — five separate builds read the
+    input five times and pay five job/shuffle latencies.  One mapInPandas
+    maintains all states per group and the single merge shuffle carries
+    |partitions| x |groups| x |kinds| KB payloads.
+    """
+    group_cols = list(group_cols)
+    value_cols = sorted({vc for _, vc in specs.values()})
+    narrow = df.select(*group_cols, *value_cols)
+    out_schema = StructType(
+        [narrow.schema[c] for c in group_cols]
+        + [
+            StructField("kind", StringType(), False),
+            StructField("sketch", BinaryType(), False),
+            StructField("rows", LongType(), False),
+            StructField("items", LongType(), False),
+        ]
+    )
+    spec_items = sorted(specs.items())  # deterministic kind order
+
+    def partial_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, dict] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                ent = states.get(key)
+                if ent is None:
+                    ent = states[key] = {
+                        name: [spec.create(), 0, 0] for name, (spec, _) in spec_items
+                    }
+                flats = {vc: _flatten_values(sub[vc]) for vc in value_cols}
+                for name, (spec, vc) in spec_items:
+                    st = ent[name]
+                    spec.update(st[0], flats[vc])
+                    st[1] += len(sub)
+                    st[2] += len(flats[vc])
+        if not states:
+            return
+        rows = [
+            (*k, name, specs[name][0].serialize(st), nrows, nitems)
+            for k, kinds in states.items()
+            for name, (st, nrows, nitems) in kinds.items()
+        ]
+        yield pd.DataFrame(rows, columns=[*group_cols, "kind", "sketch", "rows", "items"])
+
+    partials = narrow.mapInPandas(partial_build, schema=out_schema)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        kind = pdf["kind"].iloc[0]
+        merged = specs[kind][0].merge_payloads(list(pdf["sketch"]))
+        head = pdf.iloc[[0]][group_cols + ["kind"]].reset_index(drop=True)
+        head["sketch"] = [merged]
+        head["rows"] = [int(pdf["rows"].sum())]
+        head["items"] = [int(pdf["items"].sum())]
+        return head
+
+    return partials.groupBy(*group_cols, "kind").applyInPandas(merge_group, schema=out_schema)
 
 
 def collect_sketches(result: DataFrame, spec: SketchSpec, group_cols: list[str] | None):

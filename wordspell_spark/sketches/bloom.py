@@ -14,8 +14,11 @@ Differences by design (Spark-first, SURVEY.md §2.11):
   merge contract (SURVEY.md §2.9 U3);
 * explicit versioned little-endian payload instead of Go gob.
 
-State layout: ``m`` bits in an array of u64 words, ``k`` hash functions via
-Kirsch–Mitzenmacher double hashing (hashing.py).
+State layout: ``m`` bits kept as a boolean array in memory (scatter-fast
+updates — the build path sets ~k bits per element per Arrow batch, and
+pack/unpack per update would dominate), packed to little-endian u64 words
+only at the serde boundary.  ``k`` hash functions via Kirsch–Mitzenmacher
+double hashing (hashing.py).
 """
 
 from __future__ import annotations
@@ -51,7 +54,7 @@ def optimal_m_k(n: int, p: float) -> tuple[int, int]:
 class BloomState:
     m: int  # number of bits
     k: int  # number of hash functions
-    bits: np.ndarray  # u64 words, length m // 64
+    bits: np.ndarray  # bool array, length m (packed to u64 words on serialize)
 
     def copy(self) -> "BloomState":
         return BloomState(self.m, self.k, self.bits.copy())
@@ -60,7 +63,7 @@ class BloomState:
 def create(n_estimate: int = 1_000_000, fpr: float = DEFAULT_FPR, *, m: int | None = None, k: int | None = None) -> BloomState:
     if m is None or k is None:
         m, k = optimal_m_k(n_estimate, fpr)
-    return BloomState(m, k, np.zeros(m // 64, dtype=_U64))
+    return BloomState(m, k, np.zeros(m, dtype=bool))
 
 
 def _set_bits(state: BloomState, h1: np.ndarray, h2: np.ndarray) -> None:
@@ -69,7 +72,7 @@ def _set_bits(state: BloomState, h1: np.ndarray, h2: np.ndarray) -> None:
     m = _U64(state.m)
     for i in range(state.k):
         idx = (h1 + _U64(i) * h2) % m
-        np.bitwise_or.at(state.bits, (idx >> _U64(6)).astype(np.int64), _U64(1) << (idx & _U64(63)))
+        state.bits[idx.astype(np.int64)] = True
 
 
 def _test_bits(state: BloomState, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -79,8 +82,7 @@ def _test_bits(state: BloomState, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     out = np.ones(h1.shape, dtype=bool)
     for i in range(state.k):
         idx = (h1 + _U64(i) * h2) % m
-        word = state.bits[(idx >> _U64(6)).astype(np.int64)]
-        out &= (word >> (idx & _U64(63))) & _U64(1) != 0
+        out &= state.bits[idx.astype(np.int64)]
     return out
 
 
@@ -130,8 +132,7 @@ def merge(a: BloomState, b: BloomState) -> BloomState:
 
 
 def fill_ratio(state: BloomState) -> float:
-    set_bits = int(np.unpackbits(state.bits.view(np.uint8)).sum())
-    return set_bits / state.m
+    return float(state.bits.sum()) / state.m
 
 
 def approx_fpr(state: BloomState) -> float:
@@ -141,7 +142,8 @@ def approx_fpr(state: BloomState) -> float:
 
 def serialize(state: BloomState) -> bytes:
     params = _PARAMS.pack(state.m, state.k)
-    return serde.pack_header(serde.KIND_BLOOM, params) + state.bits.astype("<u8").tobytes()
+    packed = np.packbits(state.bits, bitorder="little")  # LSB-first == old u64-word layout
+    return serde.pack_header(serde.KIND_BLOOM, params) + packed.tobytes()
 
 
 def deserialize(payload: bytes) -> BloomState:
@@ -149,7 +151,8 @@ def deserialize(payload: bytes) -> BloomState:
     if kind != serde.KIND_BLOOM:
         raise serde.SketchFormatError(f"not a bloom payload (kind={kind})")
     m, k = _PARAMS.unpack(params)
-    bits = np.frombuffer(body, dtype="<u8").astype(_U64)
-    if bits.size != m // 64:
+    raw = np.frombuffer(body, dtype=np.uint8)
+    if raw.size != m // 8:
         raise serde.SketchFormatError("bloom body size mismatch")
+    bits = np.unpackbits(raw, bitorder="little").view(np.bool_)
     return BloomState(m, k, bits)

@@ -66,10 +66,18 @@ def update(state: CmsState, values, weights=None) -> CmsState:
     n = idx.shape[1]
     if n == 0:
         return state
-    w = np.ones(n, dtype=np.int64) if weights is None else np.asarray(weights, dtype=np.int64)
-    for d in range(state.depth):
-        np.add.at(state.counts[d], idx[d], w)
-    state.total += int(w.sum())
+    # bincount is the C fast path (np.add.at is ~20x slower); counts stay
+    # exact — weighted bincount returns float64 but values are integral and
+    # far below 2^53
+    if weights is None:
+        for d in range(state.depth):
+            state.counts[d] += np.bincount(idx[d], minlength=state.width).astype(np.int64)
+        state.total += n
+    else:
+        w = np.asarray(weights, dtype=np.int64)
+        for d in range(state.depth):
+            state.counts[d] += np.bincount(idx[d], weights=w, minlength=state.width).astype(np.int64)
+        state.total += int(w.sum())
     return state
 
 

@@ -76,8 +76,15 @@ def update_hashes(state: HllState, h: np.ndarray) -> HllState:
     p = _U64(state.p)
     idx = (h >> (_U64(64) - p)).astype(np.int64)
     w = h << p  # remaining 64-p bits, left-aligned
-    rank = (_clz64(w) + 1).clip(max=64 - state.p + 1).astype(np.uint8)
-    np.maximum.at(state.registers, idx, rank)
+    rank = (_clz64(w) + 1).clip(max=64 - state.p + 1).astype(np.int64)
+    # grouped max via one bincount over (register, rank) cells — np.maximum.at
+    # is a slow generic ufunc.at; rank <= 64-p+1 keeps the table tiny
+    max_rank = 64 - state.p + 1
+    cells = np.bincount(idx * (max_rank + 1) + rank, minlength=(1 << state.p) * (max_rank + 1))
+    table = cells.reshape(1 << state.p, max_rank + 1) > 0
+    batch_max = (max_rank - np.argmax(table[:, ::-1], axis=1)).astype(np.uint8)
+    batch_max[~table.any(axis=1)] = 0
+    np.maximum(state.registers, batch_max, out=state.registers)
     return state
 
 
