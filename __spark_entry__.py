@@ -72,7 +72,8 @@ def _lang_case(w: str) -> str:
 _TOKS_CTE = f"""
 docs as (select doc_id, {_NORM_WORDS.format(t='text')} as w from documents),
 toks as (
-    select doc_id, i as pos, w[i] as word, {_lang_case('w[i]')} as lang
+    -- pos is 0-based to match Spark's posexplode
+    select doc_id, i - 1 as pos, w[i] as word, {_lang_case('w[i]')} as lang
     from docs, unnest(range(1, len(w) + 1)) as t(i)
 )
 """
@@ -235,6 +236,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ).cast("long")
         return idx.groupBy("lang").agg(est.alias("est_deletes"))
+
+    def token_weights(spark, sf):
+        # J1: exact index probe with weight ranking (broadcast hash join)
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 20)
+        idx = IB.build_frequency_index(_t(spark, sf, "documents"), "text", ["doc_id"])
+        toks = IB.tokenized_words(docs, "text", ["doc_id"])
+        return IB.weight_lookup(toks, idx).select("doc_id", "pos", "word", "weight")
+
+    def trademark_matches(spark, sf):
+        # J3: longest-match lookup against a deterministic "trademark" dim
+        # (top-5 en bigrams stand in for the reference's trademark table)
+        from wordspell_spark.operators.trademark import longest_match
+
+        docs = _t(spark, sf, "documents")
+        words = IB.tokenized_words(docs, "text", ["doc_id"])
+        tms = (
+            IB.bigram_counts(words, ["doc_id"])
+            .filter(F.col("lang") == "en")
+            .orderBy(F.desc("freq"), F.asc("word"))
+            .limit(5)
+            .select(F.col("word").alias("name"))
+        )
+        return longest_match(words.select("doc_id", "pos", "word"), tms)
 
     # ---------------- text analysis ----------------
 
@@ -440,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unigram_counts": unigram_counts,
         "bigram_counts": bigram_counts,
+        "token_weights": token_weights,
+        "trademark_matches": trademark_matches,
         "freq_index": freq_index,
         "top_token_per_lang": top_token_per_lang,
         "deletes_estimate": deletes_estimate,
@@ -477,6 +503,30 @@ def oracle_sql() -> dict[str, str]:
     return {
         "unigram_counts": _UNIGRAM_SQL,
         "bigram_counts": _BIGRAM_SQL,
+        "token_weights": f"""
+with {_TOKS_CTE}, idx as ({_FREQ_INDEX_SQL})
+select t.doc_id, t.pos, t.word,
+       cast(case when t.lang = 'num' then 1000 else coalesce(i.freq, 0) end as bigint) as weight
+from toks t left join idx i on t.lang = i.lang and t.word = i.word
+where t.doc_id < 20
+""",
+        "trademark_matches": f"""
+with {_TOKS_CTE},
+tms as (select word as name from ({_BIGRAM_SQL}) where lang = 'en'
+        order by freq desc, word asc limit 5),
+leads as (select doc_id, pos, word,
+                 {', '.join(f"lead(word, {i}) over (partition by doc_id order by pos) as w{i}" for i in range(1, 6))}
+          from toks),
+grams as (
+    select doc_id, pos, 1 as ngram_len, word as ngram from leads
+    {''.join(f" union all select doc_id, pos, {ln}, concat_ws(' ', word, {', '.join(f'w{i}' for i in range(1, ln))}) from leads" for ln in range(2, 7))}
+),
+hits as (select g.doc_id, g.pos, g.ngram, g.ngram_len,
+                row_number() over (partition by g.doc_id, g.pos order by g.ngram_len desc) as rn
+         from grams g join tms t on g.ngram = t.name)
+select doc_id, pos, ngram as trademark, cast(ngram_len as int) as ngram_len
+from hits where rn = 1
+""",
         "freq_index": _FREQ_INDEX_SQL,
         "top_token_per_lang": f"""
 with uni as ({_UNIGRAM_SQL}),

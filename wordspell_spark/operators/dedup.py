@@ -195,6 +195,10 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    # persist: both sides of the self-join share this subplan; without it the
+    # md5 shingle hashing runs twice (MLlib's approxSimilarityJoin caches the
+    # same way).  Rows are (id, band, hash) — tiny relative to the corpus.
+    banded = banded.persist()
     a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
     return (
@@ -266,7 +270,8 @@ def simhash_pairs(
     assert n_bands > max_hamming, "pigeonhole requires n_bands > max_hamming"
     assert SIMHASH_BITS % n_bands == 0
     w = SIMHASH_BITS // n_bands
-    base = simhash32_df(docs, text_col, id_col)
+    # persist: the (id, simhash) relation feeds both sides of the band join
+    base = simhash32_df(docs, text_col, id_col).persist()
     bands = base.select(
         "id",
         "sh",

@@ -176,6 +176,8 @@ def embedding_neardup_pairs(
             )
         ).alias("band_idx", "band_bits"),
     )
+    # persist: both sides of the self-join share the banded-signature subplan
+    base = base.persist()
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "band_idx", "band_bits")
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "band_idx", "band_bits")
     cand = (
