@@ -1,0 +1,98 @@
+"""Unit tests for Catalyst text functions (SURVEY.md §2.7) and the index
+text-format sink/source (S6/S7).  Golden cases transliterate the reference's
+processor tests (processors/*/processor_test.go)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wordspell_spark.functions import text as T
+
+
+def _apply(spark, col_fn, values):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    return [r["o"] for r in df.select(col_fn(F.col("s")).alias("o")).collect()]
+
+
+class TestCanonicalizers:
+    def test_dim_suffix(self, spark):
+        # processors/dimsuffix/processor_test.go style: '4 д'/'3d' → '4D'/'3D'
+        out = _apply(spark, T.canon_dim_suffix, ["пазл 4 д", "3d пленка", "2 D 5 d"])
+        assert out == ["пазл 4D", "3D пленка", "2D 5D"]
+
+    def test_paper_size(self, spark):
+        out = _apply(spark, T.canon_paper_size, ["бумага а 4", "формат b5", "А3 папка"])
+        assert out == ["бумага A4", "формат B5", "A3 папка"]
+
+    def test_paper_size_ignores_long_numbers(self, spark):
+        # a 45 is not a paper size (reference requires single digit 0-6)
+        out = _apply(spark, T.canon_paper_size, ["a 45 items"])
+        assert out == ["a 45 items"]
+
+    def test_dimensions(self, spark):
+        out = _apply(spark, T.canon_dimensions, ["333 x 44x 55", "10*20", "5 Х 6"])
+        assert out == ["333*44*55", "10*20", "5*6"]
+
+    def test_clean_text_strips_illegal(self, spark):
+        out = _apply(spark, T.clean_text, ["привет! мир?", "a_b&c"])
+        assert out == ["привет  мир ", "a b c"]
+
+    def test_strip_html(self, spark):
+        out = _apply(spark, T.strip_html, ["<b>bold</b> text<br/>"])
+        assert out == [" bold  text "]
+
+
+class TestAnalysis:
+    def test_token_counts(self, spark):
+        out = _apply(spark, T.token_count, ["one two  three", "", "   "])
+        assert out == [3, 0, 0]
+
+    def test_bpe_ish_counts_longer_words_more(self, spark):
+        short, long_ = _apply(spark, T.bpe_ish_token_count, ["cat dog", "extraordinarily"])
+        assert short == 2  # two short words = 1 unit each
+        assert long_ == 4  # ceil(15/4)
+
+    def test_quality_score_ranges(self, spark):
+        clean, junk = _apply(
+            spark,
+            T.quality_score,
+            ["the quick brown fox is a good test of this text", "!!! ??? ### $$$ %%%"],
+        )
+        assert 0.0 <= junk < clean <= 1.0
+
+    def test_fingerprint_word_order_invariant(self, spark):
+        a, b, c = _apply(spark, T.fingerprint, ["one two three", "three two one", "one two four"])
+        assert a == b != c
+
+    def test_simhash_similar_texts_close(self, spark):
+        a, b, c = _apply(
+            spark,
+            T.simhash,
+            [
+                "the quick brown fox jumps over the lazy dog today",
+                "the quick brown fox jumps over the lazy cat today",
+                "completely different subject matter entirely here now",
+            ],
+        )
+        ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+        assert ham(a, b) < ham(a, c)
+
+
+class TestIndexSinkSource:
+    def test_save_load_roundtrip(self, spark, testdata_dir, tmp_path):
+        # S6/S7: word\tfreq text format, partitioned by lang, freq-desc order
+        from wordspell_spark.operators.index_build import (
+            build_frequency_index,
+            load_index,
+            save_index,
+        )
+
+        docs = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+        idx = build_frequency_index(docs, "text", ["doc_id"], thresholds={"ru": 2, "en": 2})
+        path = str(tmp_path / "index")
+        save_index(idx, path)
+        back = load_index(spark, path)
+        orig = {(r["lang"], r["word"]): r["freq"] for r in idx.collect()}
+        rt = {(r["lang"], r["word"]): r["freq"] for r in back.collect()}
+        assert rt == orig

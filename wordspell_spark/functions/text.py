@@ -175,7 +175,12 @@ def simhash(text: Column, bits: int = 64) -> Column:
             lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
         )
-        bit_cols.append(F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long"))
+        # shiftleft stays JVM-side: a python literal 1<<63 overflows int64
+        bit_cols.append(
+            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
     out = bit_cols[0]
     for c in bit_cols[1:]:
         out = out.bitwiseOR(c)
