@@ -121,7 +121,8 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         .repartition(max(CPUS, 8))  # limit() collapses to one partition
     ).cache()
     n_queries = qdf.count()
-    run("q_correct_queries", lambda: correct_queries(qdf, idx, payload).foreach(lambda r: None))
+    # count() materializes the corrections without a per-row Python foreach
+    run("q_correct_queries", lambda: correct_queries(qdf, idx, payload).count())
     extra["correction_queries_per_sec"] = round(n_queries / timings["q_correct_queries"], 1)
 
     # -- dedup + similarity + relational headliners

@@ -67,3 +67,76 @@ def test_incremental_equals_batch(spark, tmp_path, chunked_input):
 
     # lineage metrics absorbed every row exactly once
     assert sum(r["rows"] for r in final_rows) == 4000
+
+
+def test_stateful_sketch_stream(spark, tmp_path):
+    """applyInPandasWithState keeps per-group sketch state in the state store;
+    final emitted estimates equal the batch build."""
+    import pyarrow.parquet as pq
+
+    from wordspell_spark.sketches import SketchSpec, hll
+    from wordspell_spark.streaming.stateful import stateful_sketch_stream
+
+    tbl = sequences_table(3000)
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "part-0.parquet"))
+
+    spec = SketchSpec("hll", {"p": 12})
+    stream = spark.readStream.schema(SCHEMA).parquet(str(d))
+    out = stateful_sketch_stream(stream, spec, "source", "tokens")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_sketches")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["group"]: hll.estimate(hll.deserialize(bytes(r["sketch"])))
+        for r in spark.sql("select * from stateful_sketches").collect()
+    }
+    from wordspell_spark.harness import build_sketches
+
+    full_df = spark.createDataFrame(tbl.to_pandas(), SCHEMA)
+    batch = {
+        r["source"]: hll.estimate(hll.deserialize(bytes(r["sketch"])))
+        for r in build_sketches(full_df, spec, ["source"], "tokens").collect()
+    }
+    assert got == batch
+
+
+def test_io_sources_roundtrip(spark, tmp_path):
+    """S8/S9/S10 sink-source plumbing (sources/io.py)."""
+    from wordspell_spark.sources.io import (
+        load_sketch_table,
+        read_query_log,
+        save_sketch_table,
+        write_corrections,
+    )
+
+    log = tmp_path / "queries.raw"
+    log.write_text("first query\n\nsecond query\n   \nthird\n")
+    q = read_query_log(spark, str(log))
+    assert [r["query"] for r in q.orderBy("query").collect()] == [
+        "first query", "second query", "third",
+    ]
+
+    from wordspell_spark.harness import build_sketches
+    from wordspell_spark.sketches import SketchSpec, hll
+
+    df = spark.createDataFrame([("a", [1, 2]), ("b", [2, 3])], "source string, tokens array<int>")
+    sk = build_sketches(df, SketchSpec("hll", {"p": 12}), ["source"], "tokens")
+    save_sketch_table(sk, str(tmp_path / "sk"))
+    back = load_sketch_table(spark, str(tmp_path / "sk"))
+    assert back.count() == 2
+    est = hll.estimate(hll.deserialize(bytes(back.filter("source='a'").first()["sketch"])))
+    assert round(est) == 2
+
+    cor = q.withColumn("corrected", q["query"])
+    write_corrections(cor, str(tmp_path / "corr"))
+    write_corrections(cor, str(tmp_path / "corr"))  # append mode accumulates
+    assert spark.read.parquet(str(tmp_path / "corr")).count() == 6
