@@ -53,42 +53,41 @@ def create(eps: float = DEFAULT_EPS, delta: float = DEFAULT_DELTA, *, width: int
     return CmsState(width, depth, np.zeros((depth, width), dtype=np.int64), 0)
 
 
-def _bucket_rows(state: CmsState, values) -> np.ndarray:
-    """(depth, n) bucket indices via double hashing."""
-    h1, h2 = double_hash(values)
-    rows = np.arange(state.depth, dtype=_U64)[:, None]
-    return ((h1[None, :] + rows * h2[None, :]) % _U64(state.width)).astype(np.int64)
+def _row_idx(h1: np.ndarray, h2: np.ndarray, d: int, width: int) -> np.ndarray:
+    """Bucket indices for depth row d — computed per row to avoid
+    materializing the (depth, n) matrix (a 100s-of-MB transient on
+    10M-value Arrow batches, which dominated the update profile)."""
+    return ((h1 + _U64(d) * h2) % _U64(width)).astype(np.int64)
 
 
 def update(state: CmsState, values, weights=None) -> CmsState:
     """Add a batch of values with optional integer weights (default 1)."""
-    idx = _bucket_rows(state, values)
-    n = idx.shape[1]
+    h1, h2 = double_hash(values)
+    n = h1.size
     if n == 0:
         return state
     # bincount is the C fast path (np.add.at is ~20x slower); counts stay
     # exact — weighted bincount returns float64 but values are integral and
     # far below 2^53
-    if weights is None:
-        for d in range(state.depth):
-            state.counts[d] += np.bincount(idx[d], minlength=state.width).astype(np.int64)
-        state.total += n
-    else:
-        w = np.asarray(weights, dtype=np.int64)
-        for d in range(state.depth):
-            state.counts[d] += np.bincount(idx[d], weights=w, minlength=state.width).astype(np.int64)
-        state.total += int(w.sum())
+    w = None if weights is None else np.asarray(weights, dtype=np.int64)
+    for d in range(state.depth):
+        idx = _row_idx(h1, h2, d, state.width)
+        if w is None:
+            state.counts[d] += np.bincount(idx, minlength=state.width).astype(np.int64)
+        else:
+            state.counts[d] += np.bincount(idx, weights=w, minlength=state.width).astype(np.int64)
+    state.total += n if w is None else int(w.sum())
     return state
 
 
 def query(state: CmsState, values) -> np.ndarray:
     """Vectorized point estimates: min over depth rows (never undercounts)."""
-    idx = _bucket_rows(state, values)
-    if idx.shape[1] == 0:
+    h1, h2 = double_hash(values)
+    if h1.size == 0:
         return np.empty(0, dtype=np.int64)
-    est = state.counts[0][idx[0]]
+    est = state.counts[0][_row_idx(h1, h2, 0, state.width)]
     for d in range(1, state.depth):
-        est = np.minimum(est, state.counts[d][idx[d]])
+        est = np.minimum(est, state.counts[d][_row_idx(h1, h2, d, state.width)])
     return est
 
 
