@@ -394,6 +394,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def nation_revenue(spark, sf):
+        # 3-way join: fact ⋈ broadcast(customer) ⋈ broadcast(nation)
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        nation = _t(spark, sf, "nation")
+        return (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+                F.count("*").alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_customers"),
+            )
+        )
+
+    def events_running_max(spark, sf):
+        # analytic frame: running max per user over event time
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("seq"),
+            F.max("value").over(w).alias("running_max"),
+        ).filter(F.col("seq") <= 20)
+
     # ---------------- sketches (rows-only; bounds asserted in pytest) ----------------
 
     def hll_distinct_per_source(spark, sf):
@@ -485,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": pricing_summary,
         "top_customers": top_customers,
         "events_sessions": events_sessions,
+        "nation_revenue": nation_revenue,
+        "events_running_max": events_running_max,
         "hll_distinct_per_source": hll_distinct_per_source,
         "cms_top_tokens": cms_top_tokens,
         "kll_nchars_quantiles": kll_nchars_quantiles,
@@ -650,6 +679,26 @@ with rev as (
 select c_custkey, c_name, revenue, n_orders
 from rev join customer on o_custkey = c_custkey
 order by revenue desc, c_custkey asc limit 10
+""",
+        "nation_revenue": """
+select n_name,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) as revenue,
+       count(*) as n_orders,
+       count(distinct o_custkey) as n_customers
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+group by n_name
+""",
+        "events_running_max": """
+with r as (
+    select user_id, event_id,
+           cast(row_number() over w as int) as seq,
+           max(value) over w as running_max
+    from events
+    window w as (partition by user_id order by ts, event_id)
+)
+select user_id, event_id, seq, running_max from r where seq <= 20
 """,
         "events_sessions": """
 with g as (

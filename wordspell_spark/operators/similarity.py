@@ -114,11 +114,10 @@ def lsh_topk(
     assert n_planes % n_bands == 0
     w_bits = n_planes // n_bands
 
-    def banded(df: DataFrame, idc: str, alias: str) -> DataFrame:
+    def banded(df: DataFrame, idc: str) -> DataFrame:
         sig = hyperplane_signature(F.col(vec_col), n_planes)
         return df.select(
             F.col(idc),
-            as_double(F.col(vec_col)).alias(alias),
             F.posexplode(
                 F.array(
                     *[
@@ -129,18 +128,24 @@ def lsh_topk(
             ).alias("band_idx", "band_bits"),
         )
 
-    qb = F.broadcast(banded(queries, query_id_col, "__qv"))
-    cb = banded(vectors.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id", "__cv")
+    # candidate generation carries IDS ONLY — a pair colliding in several
+    # bands would otherwise shuffle its (2 x dim) double vectors once per
+    # band through the distinct; vectors are re-attached after dedup
+    qb = F.broadcast(banded(queries, query_id_col))
+    cb = banded(vectors.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
     cand = (
         qb.join(cb, ["band_idx", "band_bits"])
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
-        .select(query_id_col, "neighbor_id", "__qv", "__cv")
+        .select(query_id_col, "neighbor_id")
         .distinct()
     )
+    qv = F.broadcast(queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")))
+    cv = vectors.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv"))
+    scored = cand.join(qv, query_id_col).join(cv, "neighbor_id")
     sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        cand.select(query_id_col, "neighbor_id", sim.alias("cos_sim"))
+        scored.select(query_id_col, "neighbor_id", sim.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -166,7 +171,6 @@ def embedding_neardup_pairs(
     sig = hyperplane_signature(F.col(vec_col), n_planes)
     base = vectors.select(
         F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("v"),
         F.posexplode(
             F.array(
                 *[
@@ -176,17 +180,24 @@ def embedding_neardup_pairs(
             )
         ).alias("band_idx", "band_bits"),
     )
-    # persist: both sides of the self-join share the banded-signature subplan
+    # persist: both sides of the self-join share the banded-signature subplan;
+    # candidates carry IDS ONLY through the distinct (vectors re-attached
+    # after dedup — multi-band collisions must not shuffle vectors per band)
     base = base.persist()
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "band_idx", "band_bits")
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "band_idx", "band_bits")
+    a = base.select(F.col("id").alias("id_a"), "band_idx", "band_bits")
+    b = base.select(F.col("id").alias("id_b"), "band_idx", "band_bits")
     cand = (
         a.join(b, ["band_idx", "band_bits"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    vecs = vectors.select(F.col(id_col).alias("__vid"), as_double(F.col(vec_col)).alias("__v"))
+    scored = (
+        cand.join(vecs.withColumnRenamed("__vid", "id_a").withColumnRenamed("__v", "va"), "id_a")
+        .join(vecs.withColumnRenamed("__vid", "id_b").withColumnRenamed("__v", "vb"), "id_b")
+    )
     sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return cand.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+    return scored.select("id_a", "id_b", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
     )
