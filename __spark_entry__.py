@@ -336,6 +336,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
         return SIM.lsh_topk(emb, q, k=5)
 
+    def ann_ivf_topk(spark, sf):  # rows-only: recall asserted in pytest
+        emb = _t(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
+        return SIM.ivf_topk(emb, q, k=5)
+
     def embedding_neardup_lsh(spark, sf):  # rows-only scale path
         return SIM.embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=_NEARDUP_COS_T)
 
@@ -507,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "embedding_topk": embedding_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup_lsh": embedding_neardup_lsh,
         "multimodal_metadata": multimodal_metadata,
         "pricing_summary": pricing_summary,

@@ -155,6 +155,20 @@ class TestSimilarity:
         # clustered data + 4 bands of 2 planes → near-total recall
         assert recall >= 0.6, f"LSH recall too low: {recall}"
 
+    def test_ivf_recall_vs_brute_force(self, emb_df):
+        from wordspell_spark.operators.similarity import brute_force_topk, ivf_topk
+
+        q = emb_df.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+        brute = {
+            (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb_df, q, k=3).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb_df, q, k=3, n_cells=8, n_probe=3).collect()
+        }
+        recall = len(brute & approx) / len(brute)
+        assert recall >= 0.5, f"IVF recall too low: {recall}"
+
     def test_neardup_pairs_are_truly_similar(self, emb_df):
         from wordspell_spark.operators.similarity import embedding_neardup_pairs
 

@@ -151,6 +151,71 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into n_cells Voronoi cells around
+    deterministic hash-chosen centroids; a query scans only its n_probe
+    nearest cells.
+
+    Scale shape: cell assignment is one broadcast join against n_cells
+    centroid vectors (map-side, no shuffle of the corpus beyond writing the
+    cell key); the query-side join touches n_probe/n_cells of the data —
+    the classic IVF cost model, expressed relationally.  Centroids here are
+    hash-sampled corpus vectors (deterministic, no k-means iterations);
+    swap in trained centroids for better recall without changing the plan.
+    """
+    v = vectors.select(F.col(id_col).alias("__cid"), as_double(F.col(vec_col)).alias("__v"))
+    # deterministic centroid sample: smallest n_cells ids by md5 hash
+    cents = (
+        v.withColumn("__h", h64(F.col("__cid").cast("string")))
+        .orderBy("__h")
+        .limit(n_cells)
+        .select(F.col("__cid").alias("cell_id"), F.col("__v").alias("__cv"))
+    )
+    bc = F.broadcast(cents)
+
+    def assign(df: DataFrame, idc: str, vec: str, n_keep: int) -> DataFrame:
+        scored = df.crossJoin(bc).select(
+            F.col(idc),
+            "cell_id",
+            cosine(F.col(vec), F.col("__cv")).alias("__sim"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("__sim"), F.asc("cell_id"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_keep)
+            .select(idc, "cell_id")
+        )
+
+    corpus_cells = assign(v.withColumnRenamed("__cid", "neighbor_id").withColumnRenamed("__v", "__nv"), "neighbor_id", "__nv", 1)
+    q = queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv"))
+    query_cells = F.broadcast(assign(q, query_id_col, "__qv", n_probe))
+
+    cand = (
+        query_cells.join(corpus_cells, "cell_id")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id")
+        .distinct()
+    )
+    cv = v.select(F.col("__cid").alias("neighbor_id"), F.col("__v").alias("__nv"))
+    scored = cand.join(F.broadcast(q), query_id_col).join(cv, "neighbor_id")
+    sim = F.round(cosine(F.col("__qv"), F.col("__nv")), 6)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(query_id_col, "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
