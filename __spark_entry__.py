@@ -122,7 +122,7 @@ _JACCARD_T = 0.05
 _NEARDUP_COS_T = 0.30
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(rel: str = "documents") -> str:
     from wordspell_spark.operators.dedup import _seed_masks
 
     np_, br = _MINHASH_NUM_PERM, _MINHASH_BAND_ROWS
@@ -140,7 +140,7 @@ def _minhash_sql() -> str:
     )
     return f"""
 with d as (select doc_id, {sh_expr} as sh
-           from (select doc_id, {_WS_WORDS.format(t='text')} as w from documents)),
+           from (select doc_id, {_WS_WORDS.format(t='text')} as w from {rel})),
 hs as (select doc_id, list_transform(sh, x -> {_h64('x')}) as hs
        from d where len(sh) > 0),
 sig as (select doc_id, [{sig_list}] as sig from hs),
@@ -150,6 +150,20 @@ select distinct a.doc_id as id_a, b.doc_id as id_b
 from bands a join bands b using (band_idx, band_hash)
 where a.doc_id < b.doc_id
 """
+
+
+def _quality_expr() -> str:
+    """The quality_score Catalyst expression, re-expressed for DuckDB —
+    shared by the quality_scores and corpus_clean oracles."""
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    w = _WS_WORDS.format(t="text")
+    return f"""round(
+      (strlen(regexp_replace(text, '[^A-Za-zа-яА-Я ]', '', 'g')) / greatest(strlen(text), 1)) * 0.4
+      + least(len(list_intersect({w}, [{stop_list}])) / 3.0, 1.0) * 0.3
+      + (case when strlen(text) / greatest(len({w}), 1) >= 3
+               and strlen(text) / greatest(len({w}), 1) <= 12 then 1.0 else 0.3 end) * 0.2
+      + (1 - least((strlen(regexp_replace(text, '[^!?.,;:*%#@$^&]', '', 'g')) / greatest(strlen(text), 1)) * 5, 1.0)) * 0.1,
+      4)"""
 
 
 def _simhash_sql() -> str:
@@ -323,6 +337,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("id_a", "id_b", sim.alias("cos_sim"))
             .filter(F.col("cos_sim") >= _NEARDUP_COS_T)
         )
+
+    def corpus_clean(spark, sf):
+        """Composed cleaning pipeline: exact-dedup keepers → MinHash-LSH
+        near-dup removal (drop the higher id of each candidate pair, via
+        left_anti join) → quality threshold.  The end-to-end shape of a
+        training-data prep job."""
+        docs = _t(spark, sf, "documents")
+        keepers = docs.join(
+            D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id")), "doc_id"
+        )
+        near = D.minhash_lsh_pairs(
+            keepers, num_perm=_MINHASH_NUM_PERM, band_rows=_MINHASH_BAND_ROWS
+        ).select(F.col("id_b").alias("doc_id")).distinct()
+        kept = keepers.join(near, "doc_id", "left_anti")
+        return kept.select(
+            "doc_id", "source", T.quality_score(F.col("text")).alias("quality")
+        ).filter(F.col("quality") >= 0.3)
 
     # ---------------- similarity search ----------------
 
@@ -509,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "minhash_lsh_dups": minhash_lsh_dups,
         "simhash_dups": simhash_dups,
+        "corpus_clean": corpus_clean,
         "embedding_neardup": embedding_neardup,
         "embedding_topk": embedding_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -534,7 +566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
     return {
         "unigram_counts": _UNIGRAM_SQL,
         "bigram_counts": _BIGRAM_SQL,
@@ -598,18 +629,19 @@ ranked as (select *, row_number() over (partition by doc_id order by n desc, lan
 select doc_id, lang as lang_major, n as n_tokens from ranked where rn = 1
 """,
         "quality_scores": f"""
-with d as (select doc_id, text, {_WS_WORDS.format(t='text')} as w,
-                  greatest(strlen(text), 1) as n_chars
-           from documents)
-select doc_id,
-       round(
-         (strlen(regexp_replace(text, '[^A-Za-zа-яА-Я ]', '', 'g')) / n_chars) * 0.4
-         + least(len(list_intersect(w, [{stop_list}])) / 3.0, 1.0) * 0.3
-         + (case when strlen(text) / greatest(len(w), 1) >= 3
-                  and strlen(text) / greatest(len(w), 1) <= 12 then 1.0 else 0.3 end) * 0.2
-         + (1 - least((strlen(regexp_replace(text, '[^!?.,;:*%#@$^&]', '', 'g')) / n_chars) * 5, 1.0)) * 0.1,
-         4) as quality
-from d
+select doc_id, {_quality_expr()} as quality from documents
+""",
+        "corpus_clean": f"""
+with f as (select doc_id,
+                  {_h64(f"array_to_string(list_sort({_WS_WORDS.format(t='text')}), ' ')")} as fp
+           from documents),
+keepmap as (select fp, min(doc_id) as keep_id from f group by fp),
+keepers as (select d.* from documents d join keepmap k on d.doc_id = k.keep_id),
+pairs as ({_minhash_sql('keepers')}),
+nears as (select distinct id_b as doc_id from pairs),
+kept as (select k.* from keepers k left join nears n using (doc_id) where n.doc_id is null)
+select doc_id, source, {_quality_expr()} as quality
+from kept where {_quality_expr()} >= 0.3
 """,
         "doc_fingerprints": f"""
 select doc_id,
