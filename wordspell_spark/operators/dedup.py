@@ -13,7 +13,9 @@ Design rules for 100 TB:
 * All hashes are md5-derived (`h64`) so results are deterministic across
   engines — the DuckDB oracles in __spark_entry__.py reproduce them
   bit-for-bit. xxhash64 would be faster but is Spark-private; md5 keeps the
-  correctness gate honest and is still JVM-side codegen.
+  correctness gate honest and is still JVM-side codegen.  In a production
+  deployment where no cross-engine oracle is needed, substituting
+  ``F.xxhash64`` into ``h64`` (one line) roughly halves signature cost.
 * No Python UDFs anywhere in this module — pure Catalyst expressions.
 """
 
