@@ -90,12 +90,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     extra["sketch_build_tokens_per_sec"] = round(5 * n_tokens / timings["q_sketch_build_5kinds"], 1)
     extra["sketch_build_input_tokens"] = float(n_tokens)
 
-    # -- merge latency: final merge of pre-built partials (north-rule metric)
-    from wordspell_spark.harness import _GLOBAL_KEY  # noqa: F401
-
-    partials = build_sketches(seq, SketchSpec("hll", {"p": 12}), ["source"], "tokens")
-    partials.collect()
-
+    # -- merge latency: global (ungrouped) two-level HLL merge (north-rule metric)
     def merge_only():
         build_sketches(seq, SketchSpec("hll", {"p": 12}), None, "tokens").collect()
 
