@@ -166,3 +166,18 @@ class TestMultiSketchBuild:
         # payloads self-describe their kind
         kind, _ = deserialize_any(bytes(multi[0]["sketch"]))
         assert kind == multi[0]["kind"]
+
+
+def test_flatten_values_null_first_row(spark):
+    """A null array in row 0 must not switch the column onto the scalar path."""
+    from wordspell_spark.harness import build_sketches
+    from wordspell_spark.sketches import SketchSpec, hll
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", [1, 2, 3]), ("a", [3, 4])],
+        "source string, tokens array<int>",
+    ).coalesce(1)
+    out = build_sketches(df, SketchSpec("hll", {"p": 12}), ["source"], "tokens").collect()
+    est = hll.estimate(hll.deserialize(bytes(out[0]["sketch"])))
+    assert round(est) == 4
+    assert out[0]["items"] == 5 and out[0]["rows"] == 3

@@ -287,3 +287,42 @@ class TestSpecRegistry:
         h = hll.serialize(hll.create(8))
         with pytest.raises(serde.SketchFormatError):
             SketchSpec("bloom").merge_payloads([b, h])
+
+
+class TestSerdeRobustness:
+    """Corrupted payloads must raise SketchFormatError, never crash or
+    silently produce a wrong state."""
+
+    def test_truncated_and_garbage_payloads(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from wordspell_spark.sketches import SketchSpec, serde
+
+        for kind, params in [
+            ("bloom", {"n_estimate": 100, "fpr": 0.01}),
+            ("hll", {"p": 8}),
+            ("cms", {"eps": 0.01, "delta": 0.1}),
+            ("kll", {"k": 64}),
+            ("tdigest", {"delta": 50.0}),
+        ]:
+            spec = SketchSpec(kind, params)
+            good = spec.serialize(spec.update(spec.create(), np.arange(50)))
+            # round-trip sanity
+            spec.deserialize(good)
+            for bad in (good[: len(good) // 2], b"", b"garbage", good[:4]):
+                with _pytest.raises((serde.SketchFormatError, ValueError)):
+                    spec.deserialize(bad)
+
+    def test_cross_kind_payloads_rejected(self):
+        import numpy as np
+
+        import pytest as _pytest
+
+        from wordspell_spark.sketches import SketchSpec, serde
+
+        hll_payload = SketchSpec("hll", {"p": 8}).serialize(
+            SketchSpec("hll", {"p": 8}).update(SketchSpec("hll", {"p": 8}).create(), np.arange(10))
+        )
+        with _pytest.raises(serde.SketchFormatError):
+            SketchSpec("bloom", {"n_estimate": 100}).deserialize(hll_payload)

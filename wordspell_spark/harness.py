@@ -42,12 +42,19 @@ _GLOBAL_KEY = "__all__"
 
 
 def _flatten_values(series: pd.Series) -> np.ndarray:
-    """Column values → flat numpy array; array columns are exploded in C."""
+    """Column values → flat numpy array; array columns are exploded in C.
+
+    Detects array columns from the first NON-null element — a null in row 0
+    must not silently switch a list column onto the scalar path.
+    """
     if series.empty:
         return np.empty(0)
-    first = series.iloc[0]
+    non_null = series.dropna()
+    if non_null.empty:
+        return np.empty(0)
+    first = non_null.iloc[0]
     if isinstance(first, (np.ndarray, list)):
-        chunks = [np.asarray(v) for v in series if v is not None and len(v)]
+        chunks = [np.asarray(v) for v in non_null if len(v)]
         if not chunks:
             return np.empty(0)
         return np.concatenate(chunks)

@@ -159,8 +159,13 @@ def deserialize(payload: bytes) -> TDigestState:
     if kind != serde.KIND_TDIGEST:
         raise serde.SketchFormatError(f"not a tdigest payload (kind={kind})")
     (delta,) = _PARAMS.unpack(params)
+    head = struct.calcsize("<dddI")
     n, min_v, max_v, ncent = struct.unpack_from("<dddI", body, 0)
-    off = struct.calcsize("<dddI")
+    if len(body) != head + 16 * ncent:
+        raise serde.SketchFormatError(
+            f"tdigest body size mismatch: {len(body)} != {head + 16 * ncent}"
+        )
+    off = head
     means = np.frombuffer(body[off : off + 8 * ncent], dtype="<f8").astype(np.float64)
     off += 8 * ncent
     weights = np.frombuffer(body[off : off + 8 * ncent], dtype="<f8").astype(np.float64)
