@@ -249,3 +249,27 @@ class TestCheckpointResume:
         df = sequences_small.limit(500)
         assert run_checkpointed_build(df, spec, [], "tokens", "doc_id", ckpt, "j", n_buckets=4) == 4
         assert run_checkpointed_build(df, spec, [], "tokens", "doc_id", ckpt, "j", n_buckets=4) == 0
+
+
+class TestMultimodalTransforms:
+    def test_resize_bounds_and_determinism(self, docs_df):
+        from wordspell_spark.operators.multimodal import attach_binary, resize_images
+
+        out = resize_images(attach_binary(docs_df), target_w=128, target_h=128).collect()
+        assert len(out) == len(DOCS)
+        for r in out:
+            assert 1 <= r["width"] <= 128 and 1 <= r["height"] <= 128
+            assert len(bytes(r["payload"])) == 16
+        by_id = {r["doc_id"]: r for r in out}
+        # identical inputs (docs 0/1) → identical resized payloads
+        assert bytes(by_id[0]["payload"]) == bytes(by_id[1]["payload"])
+
+    def test_frame_sampling_fanout(self, docs_df):
+        from wordspell_spark.operators.multimodal import attach_binary, sample_frames
+
+        out = sample_frames(attach_binary(docs_df), n_frames=3).collect()
+        assert len(out) == 3 * len(DOCS)
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r["doc_id"], set()).add(r["frame_idx"])
+        assert all(v == {0, 1, 2} for v in per_doc.values())

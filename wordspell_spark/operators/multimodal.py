@@ -108,6 +108,77 @@ def decode_metadata(binary_df: DataFrame, id_col: str = "doc_id", payload_col: s
     return binary_df.mapInPandas(run, schema=METADATA_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    binary_df: DataFrame,
+    target_w: int = 256,
+    target_h: int = 256,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stub: clamps the fake-decoded dims to the target box (aspect
+    preserved) and re-emits a deterministic payload.  A real deployment
+    swaps the body for PIL/libvips; the Spark contract — row-local
+    mapInPandas, binary in/binary out, no shuffle — is the tested part."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _ = _fake_decode(payload)
+                scale = min(target_w / w, target_h / h, 1.0)
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                fake = hashlib.md5(b"resize|%d|%d|" % (nw, nh) + payload).digest()
+                rows.append((doc_id, nw, nh, fake))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "payload"])
+
+    return binary_df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling stub: treats the payload as a fake video and emits
+    n_frames deterministic frame payloads per row (uniform temporal
+    sampling in a real decoder).  Output explodes 1→n_frames rows — the
+    fan-out shape downstream feature extraction consumes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for i in range(n_frames):
+                    rows.append((doc_id, i, hashlib.md5(b"frame|%d|" % i + payload).digest()))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return binary_df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def multimodal_metadata(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """End-to-end: attach payload → decode → metadata table (no features,
     so the result is exactly DuckDB-oracle-checkable via md5)."""
