@@ -71,14 +71,17 @@ def tree_merge_payloads(partials: DataFrame, merge_fn, fanin: int = 64) -> bytes
         return pd.DataFrame({"sketch": [merge_fn(list(pdf["sketch"]))]})
 
     df = partials
-    n = df.count()
+    # ≤1 payload per input partition, so the partition count bounds the row
+    # count without triggering a count() job per tree level
+    n = df.rdd.getNumPartitions()
     while n > fanin:
+        n_groups = max(1, n // fanin)
         df = (
-            df.withColumn("__g", F.pmod(F.xxhash64(F.rand(seed=0)), F.lit(max(1, n // fanin))))
+            df.withColumn("__g", F.pmod(F.xxhash64(F.rand(seed=0)), F.lit(n_groups)))
             .groupBy("__g")
             .applyInPandas(lambda pdf: merge_group(pdf.drop(columns="__g")), schema=schema)
         )
-        n = df.count()
+        n = n_groups
     payloads = [r["sketch"] for r in df.collect()]
     return merge_fn(payloads)
 
