@@ -23,6 +23,9 @@ Design rules for 100 TB:
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -45,13 +48,79 @@ def words_of(text: Column) -> Column:
 
 
 def shingles_of(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a document (sorted for determinism)."""
+    """Distinct n-word shingles of a document (sorted for determinism).
+
+    Documents with fewer than ``n`` words have no shingles — the guard
+    matters: an unguarded sequence(1, 0) descends to [1, 0] and slice(w, 0)
+    throws INVALID_PARAMETER_VALUE.START for short docs.
+    """
     w = words_of(text)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
+    sh = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_sort(F.array_distinct(sh))
+
+
+# ----------------------------------------------- Python twins (hot path)
+#
+# The Catalyst forms above are the semantic reference (and what the DuckDB
+# oracles mirror), but higher-order functions (transform/filter/array_sort
+# with lambdas) evaluate INTERPRETED — measured ~15 ms/row for the shingle
+# pipeline, which dwarfs the actual hashing.  The hot-path signature UDFs
+# below therefore run the whole tokenize→shingle→md5 chain in Arrow-batched
+# Python, bit-identical by construction:
+#
+# * tokenizer: Spark SQL trim strips the space char only (NOT Java
+#   String.trim's <= U+0020 — hypothesis found that one); Java/RE2 '\\s' is
+#   exactly Python re.ASCII '\\s' ([ \t\n\x0b\f\r]) — so lower → strip(' ')
+#   → ASCII-\\s split → drop empties matches words_of for any input
+#   (property-tested in tests/test_vectorized_parity.py).
+# * hashes: hashlib.md5 over UTF-8 == Spark md5(cast(x as binary)) ==
+#   DuckDB md5(varchar); the first 15 hex chars parse to the same 60-bit
+#   int, so every downstream xor/min/concat is integer-exact.
+
+_WS_RE = re.compile(r"\s+", re.ASCII)  # Java regex \s (ASCII-only)
+
+
+def _py_words(text: str) -> list[str]:
+    """Python twin of words_of (lower → trim → \\s+ split → drop empties)."""
+    if text is None:
+        return []
+    t = text.lower().strip(" ")
+    return [w for w in _WS_RE.split(t) if w]
+
+
+def _md5_60(s: str) -> int:
+    """Python twin of h64: first 15 hex chars of md5 as a 60-bit int."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+# -------------------------------------------------------- cache ownership
+#
+# The pair generators persist shared subplans (both sides of an LSH
+# self-join read the same banded relation).  A lazily returned DataFrame
+# cannot unpersist its own dependencies — the caller owns the action — so
+# each generator registers its caches on the result and callers release
+# them after materializing.  bench.py and the pipeline tests do this; a
+# leaked cache is bounded (id + band keys only) but accumulates across many
+# calls in a long-lived session.
+
+
+def _register_owned_cache(df: DataFrame, *cached: DataFrame) -> None:
+    existing = list(getattr(df, "_owned_caches", ()))
+    df._owned_caches = existing + list(cached)
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist every cached subplan a pair generator registered on df.
+    Call after the result has been materialized (count/collect/write)."""
+    for c in getattr(df, "_owned_caches", ()):  # pragma: no branch
+        c.unpersist(blocking=False)
+    df._owned_caches = []
 
 
 # ------------------------------------------------------------------- exact
@@ -82,22 +151,45 @@ def ngram_jaccard_pairs(
     block_col: str = "source",
     n: int = 3,
     threshold: float = 0.5,
+    max_block_rows: int = 10_000,
 ) -> DataFrame:
     """Same-block doc pairs with n-gram-shingle Jaccard ≥ threshold.
 
-    Blocking on ``block_col`` bounds the pair explosion (at 100 TB you block
-    on a partition-grain key; full-corpus near-dup goes through
-    ``minhash_lsh_pairs`` below, which needs no block).  Jaccard computed
-    with array_intersect/array_union on distinct shingle sets — JVM-side.
+    This is the bounded *verification* operator: work is quadratic inside a
+    block, so the block key must be partition-grain.  ``max_block_rows``
+    enforces that lazily in-plan — a window count per block feeds an
+    assert_true, so an oversized block fails the job fast with a clear
+    message instead of silently exploding to ~rows² pairs (a 70 %-skewed
+    source at corpus scale would be ~10^18 pairs).  Unblocked full-corpus
+    near-dup goes through ``minhash_lsh_pairs``, whose cost follows true
+    duplicate clusters.  Jaccard computed with array_intersect/array_union
+    on distinct shingle sets — JVM-side.
     """
     base = docs.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         shingles_of(F.col(text_col), n).alias("sh"),
     ).filter(F.size("sh") > 0)
-    a = base.select(F.col("id").alias("id_a"), "blk", F.col("sh").alias("sh_a"))
+    if max_block_rows is not None:
+        wb = Window.partitionBy("blk")
+        guard = F.assert_true(
+            F.count("*").over(wb) <= F.lit(max_block_rows),
+            F.concat(
+                F.lit(f"ngram_jaccard_pairs: block '"),
+                F.col("blk").cast("string"),
+                F.lit(
+                    f"' exceeds max_block_rows={max_block_rows}; "
+                    "use a finer block_col or minhash_lsh_pairs for unblocked near-dup"
+                ),
+            ),
+        )
+        base = base.withColumn("__guard", guard)
+    else:
+        base = base.withColumn("__guard", F.lit(None).cast("void"))
+    a = base.select(F.col("id").alias("id_a"), "blk", F.col("sh").alias("sh_a"), "__guard")
     b = base.select(F.col("id").alias("id_b"), "blk", F.col("sh").alias("sh_b"))
-    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    # keeping __guard through the join defeats column pruning of the assert
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).filter(F.col("__guard").isNull())
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.round(inter / union, 6)
@@ -153,34 +245,88 @@ def minhash_signatures_df(
     num_perm: int = DEFAULT_NUM_PERM,
     n: int = 3,
 ) -> DataFrame:
-    """(id, sig) with the md5 shingle hashes materialized ONCE per row.
+    """(id, sig) — the hot-path MinHash signature, one Arrow-batched UDF.
 
-    Shingle hashing stays JVM-side (md5, oracle-portable); the per-seed
-    xor/min fold runs as an Arrow-batched numpy UDF — flatten all row
-    arrays, one ``minimum.reduceat`` per seed — instead of num_perm
-    interpreted higher-order-function passes (~20x on the signature stage).
-    Values are bit-identical to the expression form (min over xor of
-    non-negative < 2^60 ints never touches the sign bit).
+    The whole tokenize→shingle→md5→xor/min chain runs in Python (see the
+    parity notes above ``_py_words``): the Catalyst HOF pipeline evaluates
+    interpreted at ~15 ms/row, vs ~0.1 ms/row here, and md5 costs the same
+    in either runtime.  Values are bit-identical to ``minhash_signature``
+    (property-tested).  Docs with no shingles (< n words) are dropped, as
+    the expression form's size(sh) > 0 filter did.
     """
-    base = docs.select(
-        F.col(id_col).alias("id"), shingles_of(F.col(text_col), n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
-    hashed = base.select("id", F.transform("__sh", lambda x: h64(x)).alias("__hs"))
     masks = np.array(_seed_masks(num_perm), dtype=np.int64)
 
     @F.pandas_udf("array<bigint>")
-    def sig_udf(hs: pd.Series) -> pd.Series:
-        lens = hs.str.len().to_numpy(dtype=np.int64)
-        if len(lens) == 0:
-            return pd.Series([], dtype=object)
-        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in hs])
-        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        sigs = np.empty((len(masks), len(lens)), dtype=np.int64)
-        for i, m in enumerate(masks):
-            sigs[i] = np.minimum.reduceat(flat ^ m, offsets)
-        return pd.Series(list(sigs.T))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            w = _py_words(text)
+            if len(w) < n:
+                out.append(None)
+                continue
+            sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+            hs = np.fromiter((_md5_60(s) for s in sh), dtype=np.int64, count=len(sh))
+            # min over (h ^ mask) per seed; values < 2^60 never touch the sign bit
+            out.append((hs[:, None] ^ masks[None, :]).min(axis=0))
+        return pd.Series(out, dtype=object)
 
-    return hashed.select("id", sig_udf("__hs").alias("sig"))
+    # the filter references the UDF output, so it can never be pushed below
+    # the ArrowEvalPython node (a pushed-down filter would re-evaluate the
+    # whole chain once for the filter and once for the projection)
+    return (
+        docs.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+
+
+def minhash_band_hashes_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    n: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_hash) — banded LSH keys, computed inside ONE UDF.
+
+    Returning band hashes directly (band_hash = h64 of the comma-joined
+    band slice of the signature, exactly as the expression form and the
+    DuckDB oracle compute it) keeps the expensive chain behind a single
+    projection: no optimizer rule can clone it into per-band copies, and
+    the per-band work downstream is just a posexplode.
+    """
+    assert num_perm % band_rows == 0
+    n_bands = num_perm // band_rows
+    masks = np.array(_seed_masks(num_perm), dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def bands_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            w = _py_words(text)
+            if len(w) < n:
+                out.append(None)
+                continue
+            sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+            hs = np.fromiter((_md5_60(s) for s in sh), dtype=np.int64, count=len(sh))
+            sig = (hs[:, None] ^ masks[None, :]).min(axis=0)
+            out.append(
+                np.fromiter(
+                    (
+                        _md5_60(",".join(str(v) for v in sig[b * band_rows : (b + 1) * band_rows]))
+                        for b in range(n_bands)
+                    ),
+                    dtype=np.int64,
+                    count=n_bands,
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    return (
+        docs.select(F.col(id_col).alias("id"), bands_udf(F.col(text_col)).alias("__bands"))
+        .filter(F.col("__bands").isNotNull())
+        .select("id", F.posexplode("__bands").alias("band_idx", "band_hash"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -199,31 +345,28 @@ def minhash_lsh_pairs(
     a pathological cluster (e.g. boilerplate pages) is the data's skew, not
     the algorithm's; cap cluster fan-out upstream with exact_dedup first.
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The banded relation is persisted so the self-join's two sides share one
+    signature pass.  The cache is registered on the returned DataFrame —
+    after materializing (count/collect/write), call ``release_caches(pairs)``
+    to free executor storage (long-lived sessions would otherwise accumulate
+    cached blocks until LRU pressure).
     """
-    assert num_perm % band_rows == 0
-    n_bands = num_perm // band_rows
-    base = minhash_signatures_df(docs, text_col, id_col, num_perm, n)
-    banded = base.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: h64(F.concat_ws(",", F.transform(F.slice(F.col("sig"), b * band_rows + 1, band_rows), lambda v: v.cast("string")))),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = minhash_band_hashes_df(docs, text_col, id_col, num_perm, band_rows, n)
     # persist: both sides of the self-join share this subplan; without it the
-    # md5 shingle hashing runs twice (MLlib's approxSimilarityJoin caches the
-    # same way).  Rows are (id, band, hash) — tiny relative to the corpus.
+    # signature UDF runs twice (MLlib's approxSimilarityJoin caches the same
+    # way).  Rows are (id, band, hash) — tiny relative to the corpus.
     banded = banded.persist()
     a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
-    return (
+    pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    _register_owned_cache(pairs, banded)
+    return pairs
 
 
 # ------------------------------------------------------------------ simhash
@@ -252,28 +395,30 @@ def simhash32(text: Column) -> Column:
 
 
 def simhash32_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, sh) — same values as ``simhash32``, computed with one JVM md5
-    pass plus an Arrow-batched numpy bit-vote fold (add.reduceat per bit)
-    instead of 32 interpreted aggregate passes."""
-    hashed = docs.select(
-        F.col(id_col).alias("id"),
-        F.transform(words_of(F.col(text_col)), lambda w: h64(w)).alias("__hs"),
-    )
+    """(id, sh) — same values as ``simhash32``, computed in one Arrow-batched
+    UDF: Python tokenize + md5 (parity notes at ``_py_words``), then a numpy
+    bit-vote fold, instead of an interpreted HOF word pipeline feeding 32
+    interpreted aggregate passes.  Docs with no words hash to 0, matching
+    the expression form's empty-array aggregate."""
 
     @F.pandas_udf("long")
-    def sh_udf(hs: pd.Series) -> pd.Series:
-        m = len(hs)
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        m = len(texts)
         if m == 0:
             return pd.Series([], dtype=np.int64)
-        lens = hs.str.len().to_numpy(dtype=np.int64)
+        # words keep duplicates: each occurrence votes, as in simhash32
+        hs_rows = [
+            np.fromiter((_md5_60(w) for w in _py_words(t)), dtype=np.int64)
+            for t in texts
+        ]
+        lens = np.fromiter((len(r) for r in hs_rows), dtype=np.int64, count=m)
         sh = np.zeros(m, dtype=np.int64)
         nz = lens > 0
         if nz.any():
-            chunks = [np.asarray(v, dtype=np.int64) for v in hs[nz]]
-            flat = np.concatenate(chunks)
+            flat = np.concatenate([r for r in hs_rows if len(r)])
             nzlens = lens[nz]
             offsets = np.concatenate([[0], np.cumsum(nzlens)[:-1]])
-            acc = np.zeros(nz.sum(), dtype=np.int64)
+            acc = np.zeros(int(nz.sum()), dtype=np.int64)
             for b in range(SIMHASH_BITS):
                 ones = np.add.reduceat((flat >> b) & 1, offsets)
                 # vote = ones - (len - ones); bit set iff vote > 0
@@ -281,7 +426,7 @@ def simhash32_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             sh[nz] = acc
         return pd.Series(sh)
 
-    return hashed.select("id", sh_udf("__hs").alias("sh"))
+    return docs.select(F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("sh"))
 
 
 def simhash_pairs(
@@ -302,10 +447,10 @@ def simhash_pairs(
     assert SIMHASH_BITS % n_bands == 0
     w = SIMHASH_BITS // n_bands
     # persist: the (id, simhash) relation feeds both sides of the band join
+    # AND the post-dedup hash re-attach below
     base = simhash32_df(docs, text_col, id_col).persist()
     bands = base.select(
         "id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -315,15 +460,23 @@ def simhash_pairs(
             )
         ).alias("band_idx", "band_bits"),
     )
-    a = bands.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_bits")
-    b = bands.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_bits")
+    a = bands.select(F.col("id").alias("id_a"), "band_idx", "band_bits")
+    b = bands.select(F.col("id").alias("id_b"), "band_idx", "band_bits")
+    # IDS ONLY through the distinct — a pair colliding in several bands must
+    # not shuffle its hashes once per band; sh is re-attached afterwards from
+    # the persisted base (same slimming as similarity.lsh_topk)
     cand = (
         a.join(b, ["band_idx", "band_bits"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    scored = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+    pairs = scored.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    _register_owned_cache(pairs, base)
+    return pairs
