@@ -203,6 +203,129 @@ def _norm_sql(a: str) -> str:
     return f"sqrt(list_sum(list_transform({a}, t -> t * t)))"
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return f"round({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}), 6)"
+
+
+_ANN_N_PLANES = 8
+_ANN_N_BANDS = 4
+
+
+def _planes_literal(n_planes: int = _ANN_N_PLANES, dim: int = 64) -> str:
+    """The md5-derived hyperplane matrix as a DuckDB list-of-lists literal —
+    identical values to similarity.plane_matrix (repr round-trips doubles)."""
+    from wordspell_spark.operators.similarity import _plane_component
+
+    rows = ", ".join(
+        "[" + ", ".join(repr(_plane_component(p, j)) for j in range(dim)) + "]"
+        for p in range(n_planes)
+    )
+    return f"[{rows}]"
+
+
+def _hyperplane_sig_sql(v: str = "v", n_planes: int = _ANN_N_PLANES) -> str:
+    """Signature bit-pack: per plane p, set bit p iff the projection of v on
+    plane p is > 0 — the DuckDB twin of hyperplane_signature(s_df)."""
+    terms = " + ".join(
+        f"(case when list_sum(list_transform(range(1, len({v}) + 1),"
+        f" i -> {v}[i] * pl[{p + 1}][i])) > 0"
+        f" then cast({1 << p} as bigint) else cast(0 as bigint) end)"
+        for p in range(n_planes)
+    )
+    return f"({terms})"
+
+
+def _ann_bands_cte(n_planes: int = _ANN_N_PLANES, n_bands: int = _ANN_N_BANDS) -> str:
+    """CTEs: embeddings → signatures → exploded (band_idx, band_bits)."""
+    w_bits = n_planes // n_bands
+    mask = (1 << w_bits) - 1
+    return f"""
+{_EMB_CTE.strip()},
+planes as (select {_planes_literal(n_planes)} as pl),
+sig as (select vec_id, v, {_hyperplane_sig_sql('v', n_planes)} as sig from e, planes),
+bands as (select vec_id, b as band_idx, (sig >> (b * {w_bits})) & {mask} as band_bits
+          from sig, unnest(range(0, {n_bands})) as t(b))
+"""
+
+
+_ANN_LSH_TOPK_SQL = f"""
+with {_ann_bands_cte()},
+q as (select vec_id as query_id from e where vec_id % 50 = 0),
+cand as (
+    select distinct qb.vec_id as query_id, cb.vec_id as neighbor_id
+    from bands qb join bands cb using (band_idx, band_bits)
+    join q on qb.vec_id = q.query_id
+    where qb.vec_id != cb.vec_id
+),
+scored as (
+    select c.query_id, c.neighbor_id, {_cos_sql('qe.v', 'ne.v')} as cos_sim
+    from cand c join e qe on c.query_id = qe.vec_id
+                join e ne on c.neighbor_id = ne.vec_id
+),
+ranked as (select *, cast(row_number() over (partition by query_id
+                          order by cos_sim desc, neighbor_id asc) as int) as rank
+           from scored)
+select query_id, neighbor_id, cos_sim, rank from ranked where rank <= 5
+"""
+
+_EMB_NEARDUP_LSH_SQL = f"""
+with {_ann_bands_cte()},
+cand as (
+    select distinct a.vec_id as id_a, b.vec_id as id_b
+    from bands a join bands b using (band_idx, band_bits)
+    where a.vec_id < b.vec_id
+)
+select c.id_a, c.id_b, {_cos_sql('ea.v', 'eb.v')} as cos_sim
+from cand c join e ea on c.id_a = ea.vec_id
+            join e eb on c.id_b = eb.vec_id
+where {_cos_sql('ea.v', 'eb.v')} >= {_NEARDUP_COS_T}
+"""
+
+_IVF_N_CELLS = 16
+_IVF_N_PROBE = 4
+
+# unrounded cosine for cell assignment (ivf assigns on the raw double, only
+# the final re-rank rounds) — sequential list_sum matches the cumsum UDF
+_IVF_ASSIGN_COS = f"{_dot_sql('s.v', 'c.cv')} / ({_norm_sql('s.v')} * {_norm_sql('c.cv')})"
+
+_ANN_IVF_TOPK_SQL = f"""
+with {_EMB_CTE.strip()},
+cents as (select vec_id as cell_id, v as cv from e
+          order by {_h64('cast(vec_id as varchar)')} limit {_IVF_N_CELLS}),
+corpus_assign as (
+    select vec_id as neighbor_id, cell_id from (
+        select s.vec_id, c.cell_id,
+               row_number() over (partition by s.vec_id
+                                  order by {_IVF_ASSIGN_COS} desc, c.cell_id asc) as rn
+        from e s, cents c
+    ) where rn = 1
+),
+q as (select vec_id, v from e where vec_id % 50 = 0),
+query_assign as (
+    select vec_id as query_id, cell_id from (
+        select s.vec_id, c.cell_id,
+               row_number() over (partition by s.vec_id
+                                  order by {_IVF_ASSIGN_COS} desc, c.cell_id asc) as rn
+        from q s, cents c
+    ) where rn <= {_IVF_N_PROBE}
+),
+cand as (
+    select distinct qa.query_id, ca.neighbor_id
+    from query_assign qa join corpus_assign ca using (cell_id)
+    where qa.query_id != ca.neighbor_id
+),
+scored as (
+    select c.query_id, c.neighbor_id, {_cos_sql('qe.v', 'ne.v')} as cos_sim
+    from cand c join e qe on c.query_id = qe.vec_id
+                join e ne on c.neighbor_id = ne.vec_id
+),
+ranked as (select *, cast(row_number() over (partition by query_id
+                          order by cos_sim desc, neighbor_id asc) as int) as rank
+           from scored)
+select query_id, neighbor_id, cos_sim, rank from ranked where rank <= 5
+"""
+
+
 # =====================================================================
 # queries
 # =====================================================================
@@ -362,17 +485,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
         return SIM.brute_force_topk(emb, q, k=5)
 
-    def ann_lsh_topk(spark, sf):  # rows-only: recall asserted in pytest
+    def ann_lsh_topk(spark, sf):  # oracle: planes are md5-derived, so DuckDB reproduces them
         emb = _t(spark, sf, "embeddings")
         q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
         return SIM.lsh_topk(emb, q, k=5)
 
-    def ann_ivf_topk(spark, sf):  # rows-only: recall asserted in pytest
+    def ann_ivf_topk(spark, sf):  # oracle: hash-sampled centroids are deterministic
         emb = _t(spark, sf, "embeddings")
         q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
         return SIM.ivf_topk(emb, q, k=5)
 
-    def embedding_neardup_lsh(spark, sf):  # rows-only scale path
+    def embedding_neardup_lsh(spark, sf):  # oracle-checked scale path
         return SIM.embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=_NEARDUP_COS_T)
 
     # ---------------- multimodal ----------------
@@ -669,6 +792,9 @@ where len(a.sh) > 0 and len(b.sh) > 0
 """,
         "minhash_lsh_dups": _minhash_sql(),
         "simhash_dups": _simhash_sql(),
+        "ann_lsh_topk": _ANN_LSH_TOPK_SQL,
+        "ann_ivf_topk": _ANN_IVF_TOPK_SQL,
+        "embedding_neardup_lsh": _EMB_NEARDUP_LSH_SQL,
         "embedding_neardup": f"""
 with {_EMB_CTE}
 select a.vec_id as id_a, b.vec_id as id_b,
