@@ -5,10 +5,9 @@ from __future__ import annotations
 import __spark_entry__ as E
 
 # ops that are genuinely non-SQL-expressible → rows-only by design
+# (the LSH/IVF ANN queries graduated to full oracles in round 2: their
+# planes/centroids are md5-derived, so DuckDB reproduces them exactly)
 KNOWN_ROWS_ONLY = {
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_neardup_lsh",
     "hll_distinct_per_source",
     "cms_top_tokens",
     "kll_nchars_quantiles",

@@ -250,6 +250,32 @@ class TestCheckpointResume:
         assert run_checkpointed_build(df, spec, [], "tokens", "doc_id", ckpt, "j", n_buckets=4) == 4
         assert run_checkpointed_build(df, spec, [], "tokens", "doc_id", ckpt, "j", n_buckets=4) == 0
 
+    def test_empty_buckets_complete_and_finalize(self, spark, sequences_small, tmp_path):
+        # regression (round-1 ADVICE): buckets whose hash range contains no
+        # rows must still be marked complete — previously they were rescanned
+        # forever and finalize raised 'buckets missing' on a finished job
+        from wordspell_spark.operators.checkpoint import (
+            completed_buckets,
+            finalize,
+            lineage_metrics,
+            run_checkpointed_build,
+        )
+        from wordspell_spark.sketches import SketchSpec, hll
+
+        spec = SketchSpec("hll", {"p": 12})
+        ckpt = str(tmp_path / "ckpt3")
+        df = sequences_small.limit(10)  # 10 keys over 64 buckets → most empty
+        assert run_checkpointed_build(df, spec, [], "tokens", "doc_id", ckpt, "je", n_buckets=64) == 64
+        assert completed_buckets(spark, ckpt, "je") == set(range(64))
+        # second run is a no-op: empty buckets are not rescanned
+        assert run_checkpointed_build(df, spec, [], "tokens", "doc_id", ckpt, "je", n_buckets=64) == 0
+        out = finalize(spark, spec, [], ckpt, "je", n_buckets=64).collect()
+        assert len(out) == 1
+        est = hll.estimate(hll.deserialize(bytes(out[0]["sketch"])))
+        exact = df.select(F.explode("tokens")).distinct().count()
+        assert abs(est - exact) / max(exact, 1) < 0.1
+        assert lineage_metrics(spark, ckpt, "je").groupBy().agg(F.sum("rows")).first()[0] == 10
+
 
 class TestMultimodalTransforms:
     def test_resize_bounds_and_determinism(self, docs_df):

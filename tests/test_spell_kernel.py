@@ -76,6 +76,20 @@ class TestLangMajority:
         langs = lang_majority(np.array(["le ft", "игрушки для"], dtype=object))
         assert list(langs) == ["en", "ru"]
 
+    def test_trailing_empty_string_does_not_shift_boundaries(self):
+        # regression (round-1 ADVICE): a clamped reduceat offset made a
+        # trailing empty element steal the previous word's last char
+        langs = lang_majority(np.array(["ab", ""], dtype=object))
+        assert list(langs) == ["en", "unknown"]
+        langs = lang_majority(np.array(["12.5", ""], dtype=object))
+        assert list(langs) == ["num", "unknown"]
+        langs = lang_majority(np.array(["", "привет", "", "ok", ""], dtype=object))
+        assert list(langs) == ["unknown", "ru", "unknown", "en", "unknown"]
+
+    def test_all_empty_batch(self):
+        langs = lang_majority(np.array(["", ""], dtype=object))
+        assert list(langs) == ["unknown", "unknown"]
+
 
 class TestGreedyPairMerge:
     def test_runs(self):

@@ -69,6 +69,40 @@ def test_incremental_equals_batch(spark, tmp_path, chunked_input):
     assert sum(r["rows"] for r in final_rows) == 4000
 
 
+def test_epoch_replay_is_skipped(spark, tmp_path):
+    """Re-delivering an epoch (foreachBatch replay after a downstream crash)
+    must NOT re-merge its partials — CMS/KLL/t-digest are additive, so a
+    re-merge double-counts (round-1 ADVICE)."""
+    from wordspell_spark.harness import build_sketches
+    from wordspell_spark.sketches import SketchSpec, cms
+    from wordspell_spark.streaming.incremental import (
+        completed_epochs,
+        merge_into_state,
+        read_state,
+    )
+
+    spec = SketchSpec("cms", {"eps": 0.01, "delta": 0.01})
+    state = str(tmp_path / "replay_state")
+    df = spark.createDataFrame(
+        [("a", ["x", "x", "y"]), ("a", ["x"])], "source string, tokens array<string>"
+    )
+    partials = build_sketches(df, spec, ["source"], "tokens")
+
+    assert merge_into_state(spark, partials, spec, ["source"], state, epoch_id=0) is True
+    payload0 = bytes(read_state(spark, state).first()["sketch"])
+    x0 = int(cms.query(cms.deserialize(payload0), ["x"])[0])
+
+    # replay of epoch 0: skipped, state unchanged
+    assert merge_into_state(spark, partials, spec, ["source"], state, epoch_id=0) is False
+    assert bytes(read_state(spark, state).first()["sketch"]) == payload0
+
+    # a NEW epoch applies and accumulates
+    assert merge_into_state(spark, partials, spec, ["source"], state, epoch_id=1) is True
+    x1 = int(cms.query(cms.deserialize(bytes(read_state(spark, state).first()["sketch"])), ["x"])[0])
+    assert x1 == 2 * x0
+    assert completed_epochs(spark, state) == [0, 1]
+
+
 def test_stateful_sketch_stream(spark, tmp_path):
     """applyInPandasWithState keeps per-group sketch state in the state store;
     final emitted estimates equal the batch build."""

@@ -9,22 +9,34 @@ rebuilds buckets missing from the checkpoint table.
 
 Layout (one Parquet/Iceberg table per job):
 
-    checkpoint/<job_id>/partials/   bucket LONG, <group_cols...>,
-                                    sketch BINARY, rows LONG, items LONG
+    checkpoint/<job_id>/partials/run=<run_id>/   bucket LONG, <group_cols...>,
+                                                 sketch BINARY, rows LONG, items LONG
+    checkpoint/<job_id>/manifest/                bucket LONG, run STRING
 
 * ``bucket`` is a deterministic hash of the row key (NOT Spark's physical
   partition id — physical ids change with cluster size; the hash bucket is
   stable lineage).  rows/items per (bucket, group) are the audit metrics.
-* Resume = anti-join on completed buckets: only missing buckets rescan.
-  With partition-pruned sources (Iceberg partition on the same key) the
-  rescan reads only the missing files.
-* Finalize = groupBy(group_cols) merge of all bucket partials — cheap:
-  payloads are KBs, fan-in = n_buckets.
+* Completion is recorded in the **manifest**, written after a run's partials
+  land.  This is what makes an *empty* bucket (hash range with no rows — it
+  produces zero partial rows) distinguishable from a *not-yet-built* bucket:
+  round-1 ADVICE found that inferring completion from partial-data presence
+  rescanned empty buckets forever and made finalize unfinishable.
+* Crash-safety: partials are written to a run-scoped directory first, the
+  manifest second.  A crash in between leaves an orphan run directory that
+  no manifest row references; the rebuild writes a fresh run, and finalize
+  reads only manifest-referenced (bucket, run) pairs — so double-appended
+  partials can never double-count the additive sketches.
+* Resume = rebuild the buckets absent from the manifest; with
+  partition-pruned sources (Iceberg partition on the same key) the rescan
+  reads only the missing files.
+* Finalize = groupBy(group_cols) merge of all referenced bucket partials —
+  cheap: payloads are KBs, fan-in = n_buckets.
 """
 
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,13 +55,31 @@ def _partials_path(checkpoint_dir: str, job_id: str) -> str:
     return os.path.join(checkpoint_dir, job_id, "partials")
 
 
+def _manifest_path(checkpoint_dir: str, job_id: str) -> str:
+    return os.path.join(checkpoint_dir, job_id, "manifest")
+
+
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check via the Hadoop FileSystem API — works for any
+    supported scheme, and (unlike catching the read exception) cannot
+    mistake a transient IO failure for 'fresh start'."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _read_manifest(spark: SparkSession, checkpoint_dir: str, job_id: str) -> DataFrame | None:
+    path = _manifest_path(checkpoint_dir, job_id)
+    if not _hadoop_exists(spark, path):
+        return None
+    return spark.read.parquet(path)
+
+
 def completed_buckets(spark: SparkSession, checkpoint_dir: str, job_id: str) -> set[int]:
-    path = _partials_path(checkpoint_dir, job_id)
-    try:
-        rows = spark.read.parquet(path).select(BUCKET_COL).distinct().collect()
-    except Exception:  # noqa: BLE001 — missing checkpoint == fresh start
+    mani = _read_manifest(spark, checkpoint_dir, job_id)
+    if mani is None:
         return set()
-    return {r[BUCKET_COL] for r in rows}
+    return {r[BUCKET_COL] for r in mani.select(BUCKET_COL).distinct().collect()}
 
 
 def run_checkpointed_build(
@@ -77,14 +107,35 @@ def run_checkpointed_build(
     if not todo:
         return 0
 
+    run_id = uuid.uuid4().hex[:12]
     bucketed = df.withColumn(BUCKET_COL, _bucket_of(key_col, n_buckets)).filter(
         F.col(BUCKET_COL).isin(todo)
     )
     partials = build_sketches(bucketed, spec, [BUCKET_COL, *group_cols], value_col)
-    (
-        partials.write.mode("append").parquet(_partials_path(checkpoint_dir, job_id))
+    partials.write.mode("overwrite").parquet(
+        os.path.join(_partials_path(checkpoint_dir, job_id), f"run={run_id}")
     )
+    # manifest AFTER partials: every bucket this run scanned is now complete,
+    # including the ones that produced no rows
+    manifest = spark.createDataFrame(
+        [(int(b), run_id) for b in todo], f"{BUCKET_COL} long, run string"
+    )
+    manifest.coalesce(1).write.mode("append").parquet(_manifest_path(checkpoint_dir, job_id))
     return len(todo)
+
+
+def _winner_runs(mani: DataFrame) -> DataFrame:
+    """One (bucket, run) per bucket.  Duplicates can only arise from
+    concurrent builders; min(run) picks a deterministic winner."""
+    return mani.groupBy(BUCKET_COL).agg(F.min("run").alias("run"))
+
+
+def _referenced_partials(spark: SparkSession, checkpoint_dir: str, job_id: str) -> DataFrame:
+    mani = _read_manifest(spark, checkpoint_dir, job_id)
+    if mani is None:
+        raise RuntimeError(f"job {job_id}: no manifest at {_manifest_path(checkpoint_dir, job_id)}")
+    partials = spark.read.parquet(_partials_path(checkpoint_dir, job_id))
+    return partials.join(F.broadcast(_winner_runs(mani)), [BUCKET_COL, "run"]).drop("run")
 
 
 def finalize(
@@ -97,18 +148,19 @@ def finalize(
 ) -> DataFrame:
     """Merge checkpointed bucket partials → final per-group sketch table.
 
-    Raises if any bucket is missing (the job isn't finished) — finalize is
-    the atomic-swap moment; partial results must never look complete.
+    Raises if any bucket is missing from the manifest (the job isn't
+    finished) — finalize is the atomic-swap moment; partial results must
+    never look complete.  Completeness is judged on the manifest, so empty
+    buckets finalize like any other.
     """
-    path = _partials_path(checkpoint_dir, job_id)
-    partials = spark.read.parquet(path)
-    have = {r[BUCKET_COL] for r in partials.select(BUCKET_COL).distinct().collect()}
+    have = completed_buckets(spark, checkpoint_dir, job_id)
     missing = set(range(n_buckets)) - have
     if missing:
         raise RuntimeError(f"job {job_id}: {len(missing)} buckets missing, e.g. {sorted(missing)[:5]}")
 
     import pandas as pd
 
+    partials = _referenced_partials(spark, checkpoint_dir, job_id)
     merge_schema = partials.drop(BUCKET_COL).schema
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -127,6 +179,7 @@ def finalize(
 
 
 def lineage_metrics(spark: SparkSession, checkpoint_dir: str, job_id: str) -> DataFrame:
-    """Audit view: per-bucket rows/items metrics — the lineage record."""
-    path = _partials_path(checkpoint_dir, job_id)
-    return spark.read.parquet(path).select(BUCKET_COL, "rows", "items")
+    """Audit view: per-bucket rows/items metrics — the lineage record.
+    Reads only manifest-referenced partials, so orphan runs from crashed
+    attempts never inflate the audit."""
+    return _referenced_partials(spark, checkpoint_dir, job_id).select(BUCKET_COL, "rows", "items")

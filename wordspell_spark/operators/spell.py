@@ -212,17 +212,18 @@ def lang_majority(words: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=object)
     lens = np.fromiter((len(w) for w in words), count=m, dtype=np.int64)
     chars = np.frombuffer("".join(words).encode("utf-32-le"), dtype=np.uint32)
-    # reduceat needs strictly valid offsets; zero-length words get a dummy
-    # offset then are masked to counts of 0
-    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    empty = lens == 0
-    safe_offsets = np.minimum(offsets, max(len(chars) - 1, 0))
+    # reduceat over the NON-EMPTY subset only, scattered back: every offset
+    # is then strictly valid.  (A clamped-offset scheme miscounted when an
+    # empty string was the LAST element — the clamp shifted the previous
+    # word's boundary and dropped its final char; round-1 ADVICE.)
+    nonempty = lens > 0
+    nz_offsets = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
 
     def seg_count(mask_chars: np.ndarray) -> np.ndarray:
-        if len(chars) == 0:
-            return np.zeros(m, dtype=np.int64)
-        c = np.add.reduceat(mask_chars.astype(np.int64), safe_offsets)
-        return np.where(empty, 0, c)
+        c = np.zeros(m, dtype=np.int64)
+        if len(chars):
+            c[nonempty] = np.add.reduceat(mask_chars.astype(np.int64), nz_offsets)
+        return c
 
     DASH, BTICK, QUOTE = ord("-"), ord("`"), ord("'")
     is_cyr = ((chars >= 0x400) & (chars <= 0x52F)) | (chars == DASH)

@@ -3,9 +3,26 @@
 Sketches are mergeable by construction, so streaming increments are trivial
 (SURVEY.md §2.10): each micro-batch builds per-group partial sketches with
 the SAME two-level harness as the batch path, then merges them into a
-persistent state table inside ``foreachBatch``.  Exactly-once comes from the
-file-source checkpoint (processed-files log) + idempatent overwrite of the
-state table per epoch.
+persistent state table inside ``foreachBatch``.
+
+Exactly-once, concretely (round-1 ADVICE fixed the original scheme, which
+double-counted on epoch replay and could lose state to a transient read
+error):
+
+* State lives in **epoch-stamped directories**: ``<state>/epochs/epoch=<id>``.
+  A directory counts only once Spark's ``_SUCCESS`` marker exists — a crash
+  mid-write leaves an unreferenced partial dir that the same epoch's retry
+  simply overwrites.  No pointer file to swap, so there is no non-atomic
+  swap window at all: the directory listing is the manifest.
+* The **current** state is the highest successful epoch id.  foreachBatch
+  epoch ids are monotonically increasing per checkpoint, so a replayed
+  epoch (``epoch_id <= current``) is skipped instead of re-merged — that is
+  what makes CMS/KLL/t-digest (additive, non-idempotent) exactly-once.
+* "First epoch" is decided by an explicit existence check of the epochs
+  directory — any other IO failure propagates (the old bare ``except``
+  silently restarted state from scratch on a transient error).
+* Old epochs are garbage-collected, keeping the last ``keep_epochs`` for
+  post-crash inspection.
 
 At scale this is the standing analogue of the reference's weekly rebuild
 (/root/reference/components/index/service.go:23-38): instead of re-scanning
@@ -15,14 +32,56 @@ absorbs them in O(new data).
 
 from __future__ import annotations
 
-import os
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..harness import build_sketches
 from ..sketches import SketchSpec
+
+_EPOCH_RE = re.compile(r"epoch=(\d+)$")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme (file://, hdfs://,
+    s3a://…) — state handling must not assume a local filesystem."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _epochs_dir(state_path: str) -> str:
+    return state_path.rstrip("/") + "/epochs"
+
+
+def _epoch_dir(state_path: str, epoch_id: int) -> str:
+    return f"{_epochs_dir(state_path)}/epoch={epoch_id}"
+
+
+def completed_epochs(spark: SparkSession, state_path: str) -> list[int]:
+    """Successful epoch ids, ascending.  Missing dir ⇒ [] (first epoch);
+    any other IO error propagates — it must NOT be mistaken for a fresh
+    start."""
+    fs, root = _hadoop_fs(spark, _epochs_dir(state_path))
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        m = _EPOCH_RE.search(status.getPath().getName())
+        if not m:
+            continue
+        eid = int(m.group(1))
+        success = spark._jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+        if fs.exists(success):
+            out.append(eid)
+    return sorted(out)
+
+
+def current_epoch(spark: SparkSession, state_path: str) -> int | None:
+    done = completed_epochs(spark, state_path)
+    return done[-1] if done else None
 
 
 def merge_into_state(
@@ -31,17 +90,25 @@ def merge_into_state(
     spec: SketchSpec,
     group_cols: list[str],
     state_path: str,
-) -> None:
+    epoch_id: int,
+    keep_epochs: int = 2,
+) -> bool:
     """Merge freshly-built partials into the persistent sketch-state table.
 
-    Read-modify-write with an epoch-atomic overwrite; payloads are KBs per
-    group so this is driver-light and safe to run per micro-batch.
+    Returns True if the epoch was applied, False if it was a replay of an
+    already-committed epoch (skipped — re-merging would double-count the
+    additive sketches).  Payloads are KBs per group, so the read-merge-write
+    is cheap and safe per micro-batch.
     """
-    try:
-        old = spark.read.parquet(state_path)
-        combined = old.unionByName(new_partials)
-    except Exception:  # noqa: BLE001 — first epoch: no state yet
+    latest = current_epoch(spark, state_path)
+    if latest is not None and epoch_id <= latest:
+        return False  # epoch replay after a downstream crash: already absorbed
+
+    if latest is None:
         combined = new_partials
+    else:
+        old = spark.read.parquet(_epoch_dir(state_path, latest))
+        combined = old.unionByName(new_partials)
 
     merge_schema = combined.schema
 
@@ -54,12 +121,18 @@ def merge_into_state(
         return head
 
     merged = combined.groupBy(*group_cols).applyInPandas(merge_group, schema=merge_schema)
-    # stage the new state, then atomic-swap (the reference's artifact-swap
-    # pattern, index/builder.go:29-36)
-    tmp = state_path.rstrip("/") + ".staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(state_path)
+    # overwrite is retry-safe: a half-written dir from a crashed attempt of
+    # THIS epoch has no _SUCCESS and is simply replaced; it becomes current
+    # only once the write (and its _SUCCESS) completes
+    merged.write.mode("overwrite").parquet(_epoch_dir(state_path, epoch_id))
+
+    # GC: drop everything but the newest keep_epochs successful states
+    done = completed_epochs(spark, state_path)
+    fs, _ = _hadoop_fs(spark, _epochs_dir(state_path))
+    for eid in done[:-keep_epochs] if keep_epochs > 0 else done[:-1]:
+        _, p = _hadoop_fs(spark, _epoch_dir(state_path, eid))
+        fs.delete(p, True)
+    return True
 
 
 def incremental_sketch_query(
@@ -84,7 +157,9 @@ def incremental_sketch_query(
         if not batch_df.head(1):
             return
         partials = build_sketches(batch_df, spec, group_cols, value_col)
-        merge_into_state(batch_df.sparkSession, partials, spec, group_cols, state_path)
+        merge_into_state(
+            batch_df.sparkSession, partials, spec, group_cols, state_path, epoch_id
+        )
 
     return (
         stream.writeStream.foreachBatch(absorb)
@@ -95,4 +170,8 @@ def incremental_sketch_query(
 
 
 def read_state(spark: SparkSession, state_path: str) -> DataFrame:
-    return spark.read.parquet(state_path)
+    """The current sketch-state table (latest successful epoch)."""
+    latest = current_epoch(spark, state_path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed sketch state under {state_path}")
+    return spark.read.parquet(_epoch_dir(state_path, latest))
