@@ -105,6 +105,38 @@ def test_preprocessors_canonicalize(spark, index_df, bloom_payload):
     assert "20*30*40" in got[2]
 
 
+def test_units_dimensions_end_to_end(spark, index_df, bloom_payload):
+    """Full units/dimensions canonicalization through the serving path —
+    combos are protected from correction and rendered with '#' → space,
+    matching the reference's digest output (service.go:102-129 over the
+    units/dimensions golden inputs)."""
+    queries = spark.createDataFrame(
+        [
+            (0, "телефон L 3.14 mM"),
+            (1, "9.14- 15.33 -99Кг дихлофос"),
+            (2, "D = 72,18 iN"),
+            (3, "скидка 55 -75 %"),
+            # note: '/' would NOT survive CleanTextRE (domain/common.go:20
+            # excludes it), in the reference service too — the processor
+            # goldens feed words pre-clean; here we use separators that
+            # survive the clean pass
+            (4, "коробка 333 x 44Х55 Х 777х99кМ"),
+            (5, "чехол 72,18шт"),
+        ],
+        "query_id long, query string",
+    )
+    got = {
+        r["query_id"]: r["corrected"]
+        for r in spell.correct_queries(queries, index_df, bloom_payload).collect()
+    }
+    assert got[0] == "телефон l3.14 mm"
+    assert got[1] == "9.14-15.33-99 кг дихлофос"
+    assert got[2] == "d=72,18 in"
+    assert got[3].endswith("55-75%")
+    assert got[4].endswith("333*44*55*777*99 км")
+    assert got[5] == "чехол 72,18 шт"
+
+
 def test_dupremove_semantics():
     # parity cases from processors/dupremove/processor_test.go behavior
     toks = np.array(["data-spark", "spark", "foo"], dtype=object)

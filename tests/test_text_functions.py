@@ -96,3 +96,62 @@ class TestIndexSinkSource:
         orig = {(r["lang"], r["word"]): r["freq"] for r in idx.collect()}
         rt = {(r["lang"], r["word"]): r["freq"] for r in back.collect()}
         assert rt == orig
+
+
+class TestHtmlPreprocessGolden:
+    """Golden token lists transliterated from the reference's
+    index/builder_test.go:17-58 (htmlPreProcess / textPreProcess).
+
+    The reference runs htmlAddSpacesRE + bluemonday StrictPolicy; our
+    strip_html replaces each well-formed tag with a space — a superset of
+    the space insertion — then the same CleanIndexRE/lower/filter chain.
+    These goldens pin that the two pipelines agree token-for-token on the
+    reference's own fixture (entities/malformed markup can still differ;
+    the corpus data model is pre-tokenized text, see SURVEY.md §2.2).
+    """
+
+    IN_HTML = (
+        '<h2 class="h4"> Отряд щенков к делу готов!</h2><p>Колготки российского '
+        "производства выполнены из нату-раль-ного и экологически чистого хлопка "
+        "с небольшим процентом полиамида и эластана. Пусть вас не пугает наличие "
+        "синтетических материалов, ведь благодаря им бельё: </p><ul><li> удобнее "
+        "сидит на ножках; </li><li> не сползает; </li><li> лучше тянется; </li>"
+        "<li> легче надевается; </li><li> дольше служит. </li></ul>"
+        '<h2 class="h4">Can`t</h2><ul><li> Оригинальный рисунок. </li><li> '
+        "Приятная на ощупь ткань. </li><li> Изготовлено из отборной хлопковой "
+        "пряжи наивысшего качества. </li></ul><p><b>Рекомендации по уходу</b>: "
+        "стирка в бережном режиме при 40 °С. Вертикальная сушка. Осторожное "
+        "глажение при температуре не более 110 °C. </p>"
+    )
+    IN_TEXT = 'Шина "N" нулевая TDM, 6х9x200 мм, 4/1, 4 группы/крепеж по центру, SQ0801-0036'
+
+    CHECK_HTML = [
+        "отряд", "щенков", "делу", "готов",
+        "колготки", "российского", "производства", "выполнены", "из",
+        "нату-раль-ного", "экологически", "чистого", "хлопка", "небольшим",
+        "процентом", "полиамида", "эластана", "пусть", "вас", "не", "пугает",
+        "наличие", "синтетических", "материалов", "ведь", "благодаря", "им",
+        "бельё", "удобнее", "сидит", "на", "ножках", "не", "сползает", "лучше",
+        "тянется", "легче", "надевается", "дольше", "служит", "can`t",
+        "оригинальный", "рисунок", "приятная", "на", "ощупь", "ткань",
+        "изготовлено", "из", "отборной", "хлопковой", "пряжи", "наивысшего",
+        "качества", "рекомендации", "по", "уходу", "стирка", "бережном",
+        "режиме", "при", "вертикальная", "сушка", "осторожное", "глажение",
+        "при", "температуре", "не", "более",
+    ]
+    CHECK_TEXT = ["шина", "нулевая", "tdm", "мм", "группы", "крепеж", "по", "центру", "sq"]
+
+    def test_html_preprocess_golden(self, spark):
+        from pyspark.sql import functions as F
+
+        from wordspell_spark.functions import text as T
+
+        df = spark.createDataFrame([(0, self.IN_HTML), (1, self.IN_TEXT)], "i long, t string")
+        got = {
+            r["i"]: r["w"]
+            for r in df.select(
+                "i", T.normalize_words(T.strip_html(F.col("t"))).alias("w")
+            ).collect()
+        }
+        assert got[0] == self.CHECK_HTML
+        assert got[1] == self.CHECK_TEXT

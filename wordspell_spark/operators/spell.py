@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
 from ..functions import mutate as M
+from ..functions import processors as PROC
 from ..sketches import bloom
 from ..sketches.hashing import hash64, row_hash_u32_matrix
 
@@ -519,54 +520,49 @@ def dupremove_batch(tokens: np.ndarray, qid: np.ndarray) -> np.ndarray:
     return keep1 & ~drop_left
 
 
-_PRE_CANON = [
-    # dimsuffix (F2, processors/dimsuffix/processor.go:16-34) — run twice
-    (r"([2-5])\s?[dDдД]\b", r"\1D"),
-    (r"([2-5])\s?[dDдД]\b", r"\1D"),
-    # papersizes (F4, processors/papersizes/processor.go:16-48)
-    (r"\b[aAаА]\s?([0-6])\b", r"A\1"),
-    (r"\b[bBвВ]\s?([0-6])\b", r"B\1"),
-    # dimensions (F3, processors/dimensions/processor.go:18-43)
-    (r"(\d)\s?[xXхХ*/]\s?(?=\d)", r"\1*"),
-    # units (F5, processors/units/processor.go:19-52) — canonical tightening
-    (r"([a-zA-Zа-яА-Я])\s?=\s?(\d)", r"\1=\2"),
-    (r"(\d)\s?-\s?(\d+\s?%)", r"\1-\2"),
-    (r"(\d)\s(%|мм|см|кг|мл|гб|mm|cm|kg|ml|gb)(?![a-zа-я])", r"\1\2"),
-]
-
-
-_PROTECTED_TOKEN_RE = (
-    r"[2-5]D"                                   # dimsuffix output
-    r"|[AB][0-6]"                               # papersizes output
-    r"|\d+(?:[.,]\d+)?(?:\*\d+(?:[.,]\d+)?)+\S*"  # dimensions output 333*44*55
-    r"|\S+=\S+"                               # units l=56cm
-    r"|\d+-\d+%?\S*"                         # units ranges 80-90%
-    r"|\d+(?:мм|см|кг|мл|гб|mm|cm|kg|ml|gb|%)"   # units suffixes
-)
-
-
 def canonical_protected(tokens: np.ndarray) -> np.ndarray:
-    """Tokens produced by the canonicalizer pre-processors are protected from
-    correction — parity with the reference's @-combo markup (SplitChunk,
-    processors/common.go:9-22; applied in every processor's processStep)."""
+    """Combo tokens ('@' prefix) produced by the pre-processors are
+    DigestReady: protected from correction (domain/digest.go:12-26).  The
+    '@' cannot occur in raw queries — clean_text maps it to a space — so
+    the prefix is an unforgeable marker, exactly as in the reference."""
     if len(tokens) == 0:
         return np.empty(0, dtype=bool)
     return (
         pd.Series(np.asarray(tokens, dtype=object), dtype=object)
         .astype(str)
-        .str.fullmatch(_PROTECTED_TOKEN_RE)
+        .str.startswith(PROC.COMBO_PREFIX)
         .to_numpy()
     )
 
 
+def render_digest_tokens(tokens: np.ndarray) -> np.ndarray:
+    """DigestReady rendering for a token batch: '@' dropped, '#' → space
+    (domain/digest.go:14-19).  Safe to apply to every token — markup chars
+    cannot survive clean_text in non-combo tokens."""
+    if len(tokens) == 0:
+        return tokens
+    return (
+        pd.Series(np.asarray(tokens, dtype=object), dtype=object)
+        .astype(str)
+        .str.replace(PROC.COMBO_PREFIX, "", regex=False)
+        .str.replace(PROC.COMBO_SEPARATOR, " ", regex=False)
+        .to_numpy(dtype=object)
+    )
+
+
 def preprocess_query_strings(q: pd.Series) -> pd.Series:
-    """Clean + canonicalize raw query strings (P1 + F2-F5), vectorized."""
+    """Clean + canonicalize raw query strings (P1 + F2-F5).
+
+    clean_text parity first (vectorized regex), then the faithful
+    processor chain (functions/processors.py: dimsuffix → dimensions →
+    papersizes → units, service.go:77-83) which emits '@'-protected combo
+    tokens.  The chain runs per query string — scalar Python, but query
+    strings are tens of bytes and the reference performs the identical
+    per-request regex work."""
     out = q.astype(str)
     out = out.str.replace(r"[^0-9a-zA-Zа-яА-ЯёЁ\s\-.,+=`'*%]", " ", regex=True)
     out = out.str.replace(r"\s-\s", " ", regex=True)
-    for pat, rep in _PRE_CANON:
-        out = out.str.replace(pat, rep, regex=True)
-    return out
+    return out.map(lambda s: " ".join(PROC.process_words(s.split())))
 
 
 # --------------------------------------------------------------- serving op
@@ -617,6 +613,9 @@ def correct_queries(
             if tm:
                 protected |= protect_spans_batch(toks, qid, tm)
             out, keep = correct_token_batch(toks, qid, probe, bloom_state, protected=protected)
+            # DigestReady render before dupremove, as the reference orders it
+            # (service.go:108 parses/renders combos, :124 post-processes)
+            out = render_digest_tokens(out)
             keep &= dupremove_batch(np.where(keep, out, ""), qid)
             res = (
                 pd.Series(out[keep])
