@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -503,6 +504,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def multimodal_metadata(spark, sf):
         return MM.multimodal_metadata(_t(spark, sf, "documents"))
 
+    def multimodal_real_decode(spark, sf):
+        """REAL image decode path: construct valid PNG bytes per doc (dims
+        derived from doc fields), then parse the actual container headers
+        back (operators/multimodal.decode_image_header — no codec library).
+        The oracle predicts the dims from the same fields, proving the
+        engine decoded real bytes rather than echoing the fake."""
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+
+        @F.pandas_udf("binary")
+        def png_udf(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    MM.make_png(int(d) % 64 + 1, int(c) % 64 + 1)
+                    for d, c in zip(doc_id, n_chars)
+                ]
+            )
+
+        payloads = docs.select("doc_id", png_udf("doc_id", "n_chars").alias("payload"))
+        meta = MM.decode_metadata(payloads)
+        return meta.select("doc_id", "width", "height", "format")
+
     # ---------------- relational core (TPC-H-ish) ----------------
 
     def pricing_summary(spark, sf):
@@ -670,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup_lsh": embedding_neardup_lsh,
         "multimodal_metadata": multimodal_metadata,
+        "multimodal_real_decode": multimodal_real_decode,
         "pricing_summary": pricing_summary,
         "top_customers": top_customers,
         "events_sessions": events_sessions,
@@ -814,6 +837,13 @@ scored as (
 ranked as (select *, cast(row_number() over (partition by query_id order by cos_sim desc, neighbor_id asc) as int) as rank
            from scored)
 select query_id, neighbor_id, cos_sim, rank from ranked where rank <= 5
+""",
+        "multimodal_real_decode": """
+select doc_id,
+       cast(doc_id % 64 + 1 as int) as width,
+       cast(n_chars % 64 + 1 as int) as height,
+       'png' as format
+from documents where doc_id < 100
 """,
         "multimodal_metadata": """
 select doc_id,

@@ -179,6 +179,57 @@ class TestSimilarity:
             assert round(_cos(vecs[r["id_a"]], vecs[r["id_b"]]), 6) >= 0.9
 
 
+class TestImageHeaderDecode:
+    """decode_image_header parses REAL container bytes (no codec library)."""
+
+    def test_png_real_roundtrip(self):
+        from wordspell_spark.operators.multimodal import decode_image_header, make_png
+
+        assert decode_image_header(make_png(640, 480)) == (640, 480, "png")
+        assert decode_image_header(make_png(1, 1)) == (1, 1, "png")
+
+    def test_gif_bmp_webp_jpeg_headers(self):
+        import struct
+
+        from wordspell_spark.operators.multimodal import decode_image_header
+
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 8
+        assert decode_image_header(gif) == (320, 200, "gif")
+
+        bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", 800, -600) + b"\x00" * 12
+        assert decode_image_header(bmp) == (800, 600, "bmp")  # top-down rows
+
+        vp8x = (
+            b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8X" + struct.pack("<I", 10)
+            + b"\x00" * 4 + (1023).to_bytes(3, "little") + (767).to_bytes(3, "little")
+        )
+        assert decode_image_header(vp8x) == (1024, 768, "webp")
+
+        # minimal JPEG: SOI, APP0 segment, SOF0 with 100x50
+        jpeg = (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 50, 100) + b"\x03\x00\x00\x00"
+        )
+        assert decode_image_header(jpeg) == (100, 50, "jpeg")
+
+    def test_non_image_falls_back_to_none(self):
+        from wordspell_spark.operators.multimodal import _decode, decode_image_header
+
+        assert decode_image_header(b"the quick brown fox") is None
+        w, h, fmt = _decode(b"the quick brown fox")  # tiered: md5 fake
+        assert 1 <= w <= 1920 and 1 <= h <= 1080 and fmt in ("jpeg", "png", "webp")
+
+    def test_real_bytes_win_over_fake(self, spark):
+        from wordspell_spark.operators.multimodal import decode_metadata, make_png
+
+        rows = [(1, make_png(320, 240)), (2, b"not an image at all")]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r for r in decode_metadata(df).collect()}
+        assert (got[1]["width"], got[1]["height"], got[1]["format"]) == (320, 240, "png")
+        assert got[2]["format"] in ("jpeg", "png", "webp")  # fake fallback
+
+
 class TestMultimodal:
     def test_decode_schema_and_determinism(self, docs_df):
         from wordspell_spark.operators.multimodal import FEATURE_DIM, attach_binary, decode_metadata
