@@ -87,3 +87,38 @@ def test_minhash_pairs_shuffle_is_on_bands_only(spark, docs):
     assert "band_hash" in plan
     # no broadcast of the full corpus side
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_python_stage_appears_once(spark, docs):
+    # the tokenize→shingle→md5→fold chain lives behind ONE Python stage; a
+    # filter on a UDF-output column would make Catalyst clone the UDF into
+    # a second ArrowEvalPython (the round-2 regression this test caught) —
+    # the mapInPandas form emits filtered, pre-exploded rows in one pass
+    from wordspell_spark.operators.dedup import minhash_band_hashes_df, minhash_signatures_df
+
+    for df in (minhash_band_hashes_df(docs), minhash_signatures_df(docs)):
+        plan = _plan(df)
+        n_py = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+        assert n_py == 1, plan
+
+
+def test_lsh_topk_signature_udfs_bounded(spark, testdata_dir):
+    from wordspell_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
+    plan = _plan(lsh_topk(emb, q, k=5))
+    # one signature UDF per side (query + corpus) and one cosine re-rank UDF;
+    # a regression that clones the matmul per band would raise this count
+    assert plan.count("ArrowEvalPython") <= 3, plan
+    # the candidate join runs on band keys
+    assert "band_bits" in plan
+
+
+def test_ngram_guard_survives_column_pruning(spark, docs):
+    from wordspell_spark.operators.dedup import ngram_jaccard_pairs
+
+    plan = _plan(ngram_jaccard_pairs(docs, max_block_rows=10_000))
+    # the in-plan block-size assert (compiled to if(cond, null, raise_error))
+    # must not be pruned away
+    assert "raise_error" in plan, plan

@@ -174,3 +174,101 @@ def test_io_sources_roundtrip(spark, tmp_path):
     write_corrections(cor, str(tmp_path / "corr"))
     write_corrections(cor, str(tmp_path / "corr"))  # append mode accumulates
     assert spark.read.parquet(str(tmp_path / "corr")).count() == 6
+
+
+def test_windowed_sketch_with_late_data(spark, tmp_path):
+    """Event-time windows + watermark sealing: a late event (arriving in a
+    later file) merges into its original window; per-window estimates equal
+    the batch build; sealing follows max_event_ts - lateness."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from wordspell_spark.harness import build_sketches
+    from wordspell_spark.sketches import SketchSpec, hll
+    from wordspell_spark.streaming.windowed import (
+        read_windowed_state,
+        windowed_sketch_query,
+    )
+
+    schema = "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp"
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+                "n_tok": pa.array([len(r[1]) for r in rows], pa.int32()),
+                "source": [r[2] for r in rows],
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            }
+        )
+
+    d = tmp_path / "win_in"
+    d.mkdir()
+    # file 1: events in hours 0 and 1
+    rows1 = [
+        ("a", [1, 2, 3], "web", t0),
+        ("b", [2, 3, 4], "web", t0 + dt.timedelta(minutes=30)),
+        ("c", [5, 6], "web", t0 + dt.timedelta(hours=1, minutes=5)),
+    ]
+    import pyarrow.parquet as pq
+
+    pq.write_table(mk(rows1), str(d / "f1.parquet"))
+
+    spec = SketchSpec("hll", {"p": 12})
+    state = str(tmp_path / "win_state")
+    ckpt = str(tmp_path / "win_ckpt")
+
+    def run():
+        q = windowed_sketch_query(
+            spark, str(d), schema, spec, ["source"], "tokens", "ts", "1 hour", state, ckpt
+        )
+        q.awaitTermination()
+
+    run()
+    st1 = {r["window_start"]: r for r in read_windowed_state(spark, state, "1 hour", "2 hours").collect()}
+    assert len(st1) == 2
+
+    # file 2: a LATE event for hour 0 (new tokens) plus an event at hour 5
+    rows2 = [
+        ("late", [7, 8, 9], "web", t0 + dt.timedelta(minutes=45)),
+        ("d", [1], "web", t0 + dt.timedelta(hours=5)),
+    ]
+    pq.write_table(mk(rows2), str(d / "f2.parquet"))
+    run()
+
+    out = read_windowed_state(spark, state, "1 hour", "2 hours").collect()
+    by_win = {r["window_start"]: r for r in out}
+    assert len(by_win) == 3
+
+    # the hour-0 window absorbed the late event: estimate == distinct{1..4,7,8,9}
+    w0 = by_win[t0]
+    est0 = hll.estimate(hll.deserialize(bytes(w0["sketch"])))
+    assert round(est0) == 7
+    assert w0["rows"] == 3  # a, b + late
+
+    # exactly-once bookkeeping across both runs
+    assert sum(r["rows"] for r in out) == 5
+
+    # watermark = max_ts (hour 5) - 2h lateness = hour 3 → hours 0 and 1
+    # sealed, hour 5 still open
+    sealed = {r["window_start"]: r["sealed"] for r in out}
+    assert sealed[t0] and sealed[t0 + dt.timedelta(hours=1)]
+    assert not sealed[t0 + dt.timedelta(hours=5)]
+
+    # per-window estimates equal a batch build over all the data
+    full = spark.createDataFrame(mk(rows1 + rows2).to_pandas(), schema)
+    from pyspark.sql import functions as F
+
+    batch = build_sketches(
+        full.withColumn("window_start", F.window("ts", "1 hour")["start"]),
+        spec,
+        ["window_start", "source"],
+        "tokens",
+    )
+    for r in batch.collect():
+        got = hll.estimate(hll.deserialize(bytes(by_win[r["window_start"]]["sketch"])))
+        want = hll.estimate(hll.deserialize(bytes(r["sketch"])))
+        assert got == want

@@ -256,27 +256,30 @@ def minhash_signatures_df(
     """
     masks = np.array(_seed_masks(num_perm), dtype=np.int64)
 
-    @F.pandas_udf("array<bigint>")
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            w = _py_words(text)
-            if len(w) < n:
-                out.append(None)
-                continue
-            sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
-            hs = np.fromiter((_md5_60(s) for s in sh), dtype=np.int64, count=len(sh))
-            # min over (h ^ mask) per seed; values < 2^60 never touch the sign bit
-            out.append((hs[:, None] ^ masks[None, :]).min(axis=0))
-        return pd.Series(out, dtype=object)
+    # mapInPandas, not pandas_udf + filter: a filter on a UDF output column
+    # gets its own ArrowEvalPython node (Catalyst extracts the UDF for the
+    # condition AND for the projection → the whole chain runs twice,
+    # plan-asserted in tests/test_plans.py).  Dropping no-shingle rows
+    # inside the single pass keeps exactly one Python stage.
+    from typing import Iterator
 
-    # the filter references the UDF output, so it can never be pushed below
-    # the ArrowEvalPython node (a pushed-down filter would re-evaluate the
-    # whole chain once for the filter and once for the projection)
-    return (
-        docs.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
-        .filter(F.col("sig").isNotNull())
-    )
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["__id"], pdf["__text"]):
+                w = _py_words(text)
+                if len(w) < n:
+                    continue
+                sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+                hs = np.fromiter((_md5_60(s) for s in sh), dtype=np.int64, count=len(sh))
+                # min over (h ^ mask) per seed; < 2^60 never touches the sign bit
+                ids.append(doc_id)
+                sigs.append((hs[:, None] ^ masks[None, :]).min(axis=0).tolist())
+            yield pd.DataFrame({"id": ids, "sig": pd.Series(sigs, dtype=object)})
+
+    inp = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    id_type = inp.schema["__id"].dataType.simpleString()
+    return inp.mapInPandas(run, schema=f"id {id_type}, sig array<bigint>")
 
 
 def minhash_band_hashes_df(
@@ -299,34 +302,45 @@ def minhash_band_hashes_df(
     n_bands = num_perm // band_rows
     masks = np.array(_seed_masks(num_perm), dtype=np.int64)
 
-    @F.pandas_udf("array<bigint>")
-    def bands_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            w = _py_words(text)
-            if len(w) < n:
-                out.append(None)
-                continue
-            sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
-            hs = np.fromiter((_md5_60(s) for s in sh), dtype=np.int64, count=len(sh))
-            sig = (hs[:, None] ^ masks[None, :]).min(axis=0)
-            out.append(
-                np.fromiter(
-                    (
-                        _md5_60(",".join(str(v) for v in sig[b * band_rows : (b + 1) * band_rows]))
-                        for b in range(n_bands)
-                    ),
-                    dtype=np.int64,
-                    count=n_bands,
-                )
-            )
-        return pd.Series(out, dtype=object)
+    # one mapInPandas emits the exploded (id, band_idx, band_hash) rows
+    # directly — no post-UDF filter (which would clone the Python stage, see
+    # minhash_signatures_df) and no posexplode node
+    from typing import Iterator
 
-    return (
-        docs.select(F.col(id_col).alias("id"), bands_udf(F.col(text_col)).alias("__bands"))
-        .filter(F.col("__bands").isNotNull())
-        .select("id", F.posexplode("__bands").alias("band_idx", "band_hash"))
-    )
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        band_idx = np.arange(n_bands, dtype=np.int32)
+        for pdf in batches:
+            ids, bidx, bh = [], [], []
+            for doc_id, text in zip(pdf["__id"], pdf["__text"]):
+                w = _py_words(text)
+                if len(w) < n:
+                    continue
+                sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+                hs = np.fromiter((_md5_60(s) for s in sh), dtype=np.int64, count=len(sh))
+                sig = (hs[:, None] ^ masks[None, :]).min(axis=0)
+                ids.extend([doc_id] * n_bands)
+                bidx.append(band_idx)
+                bh.append(
+                    np.fromiter(
+                        (
+                            _md5_60(",".join(str(v) for v in sig[b * band_rows : (b + 1) * band_rows]))
+                            for b in range(n_bands)
+                        ),
+                        dtype=np.int64,
+                        count=n_bands,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "band_idx": np.concatenate(bidx) if bidx else np.array([], dtype=np.int32),
+                    "band_hash": np.concatenate(bh) if bh else np.array([], dtype=np.int64),
+                }
+            )
+
+    inp = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    id_type = inp.schema["__id"].dataType.simpleString()
+    return inp.mapInPandas(run, schema=f"id {id_type}, band_idx int, band_hash bigint")
 
 
 def minhash_lsh_pairs(

@@ -111,6 +111,11 @@ def merge_into_state(
         combined = old.unionByName(new_partials)
 
     merge_schema = combined.schema
+    # columns beyond the harness triple ride along max-aggregated — e.g. the
+    # windowed variant's max_event_ts watermark column.  Captured as plain
+    # lists: the closure ships to executors and must not drag the DataFrame.
+    out_cols = list(combined.columns)
+    extra_cols = [c for c in out_cols if c not in (*group_cols, "sketch", "rows", "items")]
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         merged = spec.merge_payloads(list(pdf["sketch"]))
@@ -118,7 +123,9 @@ def merge_into_state(
         head["sketch"] = [merged]
         head["rows"] = [int(pdf["rows"].sum())]
         head["items"] = [int(pdf["items"].sum())]
-        return head
+        for c in extra_cols:
+            head[c] = [pdf[c].max()]
+        return head[out_cols]
 
     merged = combined.groupBy(*group_cols).applyInPandas(merge_group, schema=merge_schema)
     # overwrite is retry-safe: a half-written dir from a crashed attempt of
