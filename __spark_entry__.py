@@ -208,8 +208,10 @@ def _cos_sql(a: str, b: str) -> str:
     return f"round({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}), 6)"
 
 
-_ANN_N_PLANES = 8
-_ANN_N_BANDS = 4
+_ANN_N_PLANES = 16      # ann_lsh_topk: 8 bands of 2 bits -> recall ~0.96+
+_ANN_N_BANDS = 8
+_NEARDUP_N_PLANES = 8   # embedding_neardup: loose bands suit the 0.30 threshold
+_NEARDUP_N_BANDS = 4
 
 
 def _planes_literal(n_planes: int = _ANN_N_PLANES, dim: int = 64) -> str:
@@ -270,7 +272,7 @@ select query_id, neighbor_id, cos_sim, rank from ranked where rank <= 5
 """
 
 _EMB_NEARDUP_LSH_SQL = f"""
-with {_ann_bands_cte()},
+with {_ann_bands_cte(_NEARDUP_N_PLANES, _NEARDUP_N_BANDS)},
 cand as (
     select distinct a.vec_id as id_a, b.vec_id as id_b
     from bands a join bands b using (band_idx, band_bits)
@@ -489,7 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_lsh_topk(spark, sf):  # oracle: planes are md5-derived, so DuckDB reproduces them
         emb = _t(spark, sf, "embeddings")
         q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
-        return SIM.lsh_topk(emb, q, k=5)
+        return SIM.lsh_topk(emb, q, k=5, n_planes=_ANN_N_PLANES, n_bands=_ANN_N_BANDS)
 
     def ann_ivf_topk(spark, sf):  # oracle: hash-sampled centroids are deterministic
         emb = _t(spark, sf, "embeddings")
@@ -497,7 +499,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.ivf_topk(emb, q, k=5)
 
     def embedding_neardup_lsh(spark, sf):  # oracle-checked scale path
-        return SIM.embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=_NEARDUP_COS_T)
+        return SIM.embedding_neardup_pairs(
+            _t(spark, sf, "embeddings"),
+            threshold=_NEARDUP_COS_T,
+            n_planes=_NEARDUP_N_PLANES,
+            n_bands=_NEARDUP_N_BANDS,
+        )
 
     # ---------------- multimodal ----------------
 

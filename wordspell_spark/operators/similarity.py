@@ -216,8 +216,8 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_planes: int = 8,
-    n_bands: int = 4,
+    n_planes: int = 16,
+    n_bands: int = 8,
     dim: int = 64,
 ) -> DataFrame:
     """ANN top-k: candidates share ≥1 LSH band with the query, then exact
@@ -225,7 +225,9 @@ def lsh_topk(
     work is proportional to bucket collisions, not corpus size × queries.
 
     Bands of n_planes/n_bands planes each trade recall (more bands → more
-    candidates) against cost; planes partition the signature.  Signatures
+    candidates) against cost; planes partition the signature.  The 16/8
+    default measured recall 0.96-0.98 vs brute force at k=5 on the 64-dim
+    fixtures (8/4 gave 0.70-0.84 at the same wall).  Signatures
     run on the vectorized numpy path (``hyperplane_signatures_df``); the
     exact re-rank stays Catalyst zip_with so the cosine values are
     bit-identical to the brute-force oracle.
