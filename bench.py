@@ -105,6 +105,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         build_sketches(seq, SketchSpec("hll", {"p": 12}), None, "tokens").collect()
 
     run("q_hll_global_merge", merge_only)
+    seq.unpersist(blocking=False)  # done with the sequences table
 
     # repartition: the single small parquet file would otherwise pin all the
     # heavy per-row expression work (minhash/simhash/decode) onto 1-2 tasks
@@ -140,8 +141,16 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     run("q_simhash_dedup", lambda: sp.count())
     D.release_caches(sp)
     run("q_exact_dedup", lambda: D.exact_dedup(docs).count())
+    # release the text-path caches before the embedding phase: accumulated
+    # storage + old shuffle blocks otherwise tax the late queries with GC
+    qdf.unpersist(blocking=False)
+    idx.unpersist(blocking=False)
+    docs.unpersist(blocking=False)
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(max(CPUS, 8)).cache()
+    # partition by DATA size, not core count: the embeddings table is tiny
+    # (2k rows at sf0.1) and 32-way stages are pure task overhead — measured
+    # 2x wall on the ANN query vs right-sized partitions
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(8).cache()
     emb.count()
     q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
     run("q_ann_lsh_topk", lambda: SIM.lsh_topk(emb, q, k=5).count())
