@@ -272,6 +272,72 @@ def lsh_topk(
     )
 
 
+def ivf_train_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means centroids for IVF (Lloyd iterations
+    on cosine similarity).
+
+    Scale shape: each iteration is ONE mapInPandas pass emitting per-cell
+    partial (sum, count) vectors per partition — O(partitions x n_cells)
+    rows collected to the driver, independent of corpus size; the corpus
+    itself never shuffles.  Init is the hash-sampled seed set (same
+    derivation as untrained ivf_topk), assignment ties break toward the
+    lower cell index, so the whole procedure is reproducible bit-for-bit.
+    Empty cells keep their previous centroid.
+    """
+    v = vectors.select(as_double(F.col(vec_col)).alias("__v"), F.col(id_col).alias("__cid"))
+    seed_rows = (
+        v.withColumn("__h", h64(F.col("__cid").cast("string")))
+        .orderBy("__h")
+        .limit(n_cells)
+        .select("__v")
+        .collect()
+    )
+    C = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in seed_rows])
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    vec_only = v.select("__v")
+    for _ in range(n_iters):
+        Cb = C  # captured by value in the closure below
+
+        def partial_sums(batches):
+            import pandas as _pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                cell = np.argmax(Vn @ Cb.T, axis=1)  # ties -> lowest index
+                out_cells, sums, cnts = [], [], []
+                for c in np.unique(cell):
+                    mask = cell == c
+                    out_cells.append(int(c))
+                    sums.append(V[mask].sum(axis=0).tolist())
+                    cnts.append(int(mask.sum()))
+                yield _pd.DataFrame({"cell": out_cells, "vsum": _pd.Series(sums, dtype=object), "cnt": cnts})
+
+        rows = vec_only.mapInPandas(
+            partial_sums, schema="cell int, vsum array<double>, cnt long"
+        ).collect()
+        sums = np.zeros_like(C)
+        cnts = np.zeros(n_cells, dtype=np.int64)
+        for r in rows:
+            sums[r["cell"]] += np.asarray(r["vsum"], dtype=np.float64)
+            cnts[r["cell"]] += r["cnt"]
+        newC = C.copy()
+        nz = cnts > 0
+        newC[nz] = sums[nz] / cnts[nz, None]
+        newC = newC / np.maximum(np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
+        C = newC
+    return C
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -281,6 +347,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into n_cells Voronoi cells around
     deterministic hash-chosen centroids; a query scans only its n_probe
@@ -289,18 +356,27 @@ def ivf_topk(
     Scale shape: cell assignment is one broadcast join against n_cells
     centroid vectors (map-side, no shuffle of the corpus beyond writing the
     cell key); the query-side join touches n_probe/n_cells of the data —
-    the classic IVF cost model, expressed relationally.  Centroids here are
-    hash-sampled corpus vectors (deterministic, no k-means iterations);
-    swap in trained centroids for better recall without changing the plan.
+    the classic IVF cost model, expressed relationally.  Default centroids
+    are hash-sampled corpus vectors (deterministic, no k-means iterations —
+    and DuckDB-oracle-reproducible); pass ``centroids`` from
+    ``ivf_train_centroids`` for trained cells with better recall — the
+    plan is identical either way.
     """
     v = vectors.select(F.col(id_col).alias("__cid"), as_double(F.col(vec_col)).alias("__v"))
-    # deterministic centroid sample: smallest n_cells ids by md5 hash
-    cents = (
-        v.withColumn("__h", h64(F.col("__cid").cast("string")))
-        .orderBy("__h")
-        .limit(n_cells)
-        .select(F.col("__cid").alias("cell_id"), F.col("__v").alias("__cv"))
-    )
+    if centroids is not None:
+        spark = vectors.sparkSession
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell_id long, __cv array<double>",
+        )
+    else:
+        # deterministic centroid sample: smallest n_cells ids by md5 hash
+        cents = (
+            v.withColumn("__h", h64(F.col("__cid").cast("string")))
+            .orderBy("__h")
+            .limit(n_cells)
+            .select(F.col("__cid").alias("cell_id"), F.col("__v").alias("__cv"))
+        )
     bc = F.broadcast(cents)
 
     def assign(df: DataFrame, idc: str, vec: str, n_keep: int) -> DataFrame:
