@@ -87,15 +87,27 @@ def _test_bits(state: BloomState, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
 
 
 def update(state: BloomState, values) -> BloomState:
-    """Insert a batch of values (str / bytes / int / float array)."""
+    """Insert a batch of values (str / bytes / int / float array).
+
+    Duplicate values are dropped before hashing (numeric batches) or before
+    the k-probe scatter (string batches) — bit-setting is idempotent and
+    Zipfian batches are mostly repeats, so this cuts the dominant hash +
+    random-write cost by the batch's duplication factor."""
+    vals = np.asarray(values)
+    if vals.dtype.kind in "iuf":
+        h1, h2 = double_hash(np.unique(vals))
+        _set_bits(state, h1, h2)
+        return state
     h1, h2 = double_hash(values)
-    _set_bits(state, h1, h2)
+    u1, first = np.unique(h1, return_index=True)
+    _set_bits(state, u1, h2[first])
     return state
 
 
 def update_hashes(state: BloomState, h1: np.ndarray) -> BloomState:
-    """Insert pre-hashed 64-bit keys (e.g. row_hash_u32_matrix output)."""
-    h1 = h1.astype(_U64, copy=False)
+    """Insert pre-hashed 64-bit keys (e.g. row_hash_u32_matrix output).
+    Deduped first — idempotent, see ``update``."""
+    h1 = np.unique(h1.astype(_U64, copy=False))
     _set_bits(state, h1, splitmix64(h1) | _U64(1))
     return state
 

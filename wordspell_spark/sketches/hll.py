@@ -66,13 +66,22 @@ def _clz64(x: np.ndarray) -> np.ndarray:
 
 
 def update(state: HllState, values) -> HllState:
-    return update_hashes(state, hash64(values))
+    # numeric batches dedupe before hashing (idempotent registers; Zipfian
+    # batches are mostly repeats); update_hashes dedupes the hash array for
+    # every other input type
+    vals = np.asarray(values)
+    if vals.dtype.kind in "iuf":
+        vals = np.unique(vals)
+    return update_hashes(state, hash64(vals))
 
 
 def update_hashes(state: HllState, h: np.ndarray) -> HllState:
     if h.size == 0:
         return state
-    h = h.astype(_U64, copy=False)
+    # register updates are idempotent per hash (same (idx, rank) → same max),
+    # so dedupe first: Zipfian token batches shrink 4-10x, and the clz /
+    # bincount passes run on the distinct set only
+    h = np.unique(h.astype(_U64, copy=False))
     p = _U64(state.p)
     idx = (h >> (_U64(64) - p)).astype(np.int64)
     w = h << p  # remaining 64-p bits, left-aligned
