@@ -181,3 +181,61 @@ def test_flatten_values_null_first_row(spark):
     est = hll.estimate(hll.deserialize(bytes(out[0]["sketch"])))
     assert round(est) == 4
     assert out[0]["items"] == 5 and out[0]["rows"] == 3
+
+
+class TestSecondaryOracles:
+    """SURVEY §7 step 4: cross-check our sketches against Spark's OWN
+    approximate aggregates — two independent implementations of the same
+    algorithms family must land in the same neighborhood of the exact
+    answer."""
+
+    def test_hll_vs_approx_count_distinct(self, spark, sequences_small):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from wordspell_spark.harness import build_sketches
+        from wordspell_spark.sketches import SketchSpec, hll
+
+        df = sequences_small.limit(3000)
+        ours = {
+            r["source"]: hll.estimate(hll.deserialize(bytes(r["sketch"])))
+            for r in build_sketches(df, SketchSpec("hll", {"p": 12}), ["source"], "tokens").collect()
+        }
+        toks = df.select("source", F.explode("tokens").alias("t"))
+        spark_est = {
+            r["source"]: r["e"]
+            for r in toks.groupBy("source").agg(F.approx_count_distinct("t", 0.02).alias("e")).collect()
+        }
+        exact = {
+            r["source"]: r["e"]
+            for r in toks.groupBy("source").agg(F.countDistinct("t").alias("e")).collect()
+        }
+        rse = 1.04 / math.sqrt(1 << 12)
+        for src, ex in exact.items():
+            assert abs(ours[src] - ex) <= max(3 * rse * ex, 3), (src, ours[src], ex)
+            assert abs(spark_est[src] - ex) <= max(0.06 * ex, 5)
+            # the two approximations agree within their combined tolerance
+            assert abs(ours[src] - spark_est[src]) <= max(0.08 * ex, 8)
+
+    def test_kll_vs_percentile_approx(self, spark, sequences_small):
+        from pyspark.sql import functions as F
+
+        from wordspell_spark.harness import build_sketches
+        from wordspell_spark.sketches import SketchSpec, kll
+
+        df = sequences_small.limit(3000)
+        payload = bytes(
+            build_sketches(df, SketchSpec("kll", {"k": 200}), None, "n_tok").first()["sketch"]
+        )
+        state = kll.deserialize(payload)
+        qs = [0.25, 0.5, 0.75, 0.9]
+        ours = kll.quantile(state, qs)
+        spark_qs = df.select(F.percentile_approx("n_tok", qs, 10_000).alias("p")).first()["p"]
+        exact = df.approxQuantile("n_tok", qs, 0.0)
+        n = df.count()
+        for q, mine, sp, ex in zip(qs, ours, spark_qs, exact):
+            # KLL rank-error bound (~1.7/k normalized rank) translated to a
+            # generous value-space tolerance on this integer-valued column
+            assert abs(float(mine) - ex) <= max(0.1 * ex, 3), (q, mine, ex)
+            assert abs(float(sp) - ex) <= max(0.1 * ex, 3), (q, sp, ex)

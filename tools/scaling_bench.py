@@ -155,7 +155,7 @@ def cpu_probe(nproc: int) -> float:
     return sum(rates) / len(rates)
 
 
-def run_pairs(n: int, rows: int, invocations: int = 2) -> tuple[dict, dict, list[float]]:
+def run_pairs(n: int, rows: int, invocations: int = 3) -> tuple[dict, dict, list[float]]:
     """Interleave N / 4N cluster invocations back-to-back; the median
     per-pair efficiency rejects machine-state drift between runs."""
     pairs = []

@@ -16,9 +16,12 @@ Design rules for 100 TB:
   correctness gate honest and is still JVM-side codegen.  In a production
   deployment where no cross-engine oracle is needed, substituting
   ``F.xxhash64`` into ``h64`` (one line) roughly halves signature cost.
-* No per-row Python anywhere: relational parts are Catalyst expressions;
-  the signature folds (minhash xor/min, simhash bit votes) are Arrow-batched
-  numpy UDFs operating on flattened arrays via ``ufunc.reduceat``.
+* Signature computation (minhash, simhash) runs as Arrow-batched Python —
+  a single mapInPandas per relation doing tokenize→shingle→md5→fold with
+  numpy, bit-identical to the Catalyst expression twins kept below
+  (property-tested).  The expression forms evaluate interpreted (~100x
+  slower, measured) and exist to pin the semantics the oracles mirror.
+  Relational parts (joins, distinct, thresholds) stay Catalyst.
 """
 
 from __future__ import annotations
