@@ -226,9 +226,10 @@ def minhash_signature(text: Column, num_perm: int = DEFAULT_NUM_PERM, n: int = 3
     per seed — the classic xor-mask MinHash family.  Entirely row-local (no
     shuffle).  Empty docs get an empty signature.
 
-    NOTE: as a single expression the md5 subtree would be copied into all
-    num_perm array slots; use ``minhash_signatures_df`` (staged projections)
-    on the hot path so hashes are computed once per row.
+    NOTE: expression twin for tests/oracles only — as a single expression
+    the md5 subtree is copied into all num_perm array slots and every HOF
+    evaluates interpreted; the hot path is ``minhash_signatures_df``
+    (single mapInPandas, bit-identical).
     """
     sh = shingles_of(text, n)
     hashes = F.transform(sh, lambda x: h64(x))
