@@ -83,6 +83,39 @@ class TestBloom:
         h = row_hash_u32_matrix(mat, valid_len=np.array([2, 3]))
         assert h[0] != h[1]
 
+    def test_dedupe_flag_is_bit_identical(self):
+        """update_hashes(dedupe=False) must build the exact same filter —
+        the deletion-bloom fast path relies on bit-set idempotence."""
+        h = RNG.integers(0, 2**63, size=20_000, dtype=np.uint64)
+        h = np.concatenate([h, h[:5000]])  # real duplicates too
+        a = bloom.update_hashes(bloom.create(20_000, 0.01), h, dedupe=True)
+        b = bloom.update_hashes(bloom.create(20_000, 0.01), h, dedupe=False)
+        assert (a.bits == b.bits).all()
+
+    def test_float_dedupe_keeps_bit_distinct_values(self):
+        """±0.0 hash differently (bit-pattern hash); the idempotent-update
+        dedupe must not collapse them (round-2 ADVICE, hll.py:84)."""
+        from wordspell_spark.sketches.hashing import double_hash
+
+        vals = np.array([0.0, -0.0, 0.0, -0.0, 1.5])
+        st = bloom.update(bloom.create(64, 0.01), vals)
+        ref = bloom.create(64, 0.01)  # no-dedupe reference: one value at a time
+        for v in [0.0, -0.0, 1.5]:
+            h1, h2 = double_hash(np.array([v]))
+            bloom._set_bits(ref, h1, h2)
+        assert (st.bits == ref.bits).all()
+        # HLL: two bit-distinct zeros count as two distinct values
+        sh = hll.update(hll.create(p=12), np.array([0.0, -0.0, 0.0, -0.0]))
+        ref_h = hll.update_hashes(hll.create(p=12), np.concatenate(
+            [self._hash1(0.0), self._hash1(-0.0)]))
+        assert (sh.registers == ref_h.registers).all()
+
+    @staticmethod
+    def _hash1(v: float) -> np.ndarray:
+        from wordspell_spark.sketches.hashing import hash64
+
+        return hash64(np.array([v]))
+
 
 # ---------------------------------------------------------------- hll
 

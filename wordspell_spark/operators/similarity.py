@@ -155,6 +155,40 @@ def plane_matrix(n_planes: int, dim: int) -> np.ndarray:
     )
 
 
+def _rows_and_signatures(vs, P: np.ndarray, dim: int) -> tuple[list, np.ndarray]:
+    """Shared signature kernel: a sequence of (possibly null/ragged) vectors →
+    (float64 row list with None gaps, packed int64 signatures).
+
+    One numpy matmul per distinct length; null/empty vectors sign to 0.
+    Both ``hyperplane_signatures_df`` and the broadcast ``lsh_topk`` path
+    call this, so their bucket assignment is identical by construction.
+    """
+    n_planes = P.shape[0]
+    shifts = np.arange(n_planes, dtype=np.int64)
+    m = len(vs)
+    sigs = np.zeros(m, dtype=np.int64)
+    by_len: dict[int, list[int]] = {}
+    rows: list[np.ndarray | None] = []
+    for i, v in enumerate(vs):
+        if v is None:
+            rows.append(None)
+            continue
+        r = np.asarray(v, dtype=np.float64)
+        rows.append(r)
+        if len(r) > dim:
+            raise ValueError(
+                f"hyperplane signatures: vector of length {len(r)} exceeds "
+                f"plane dim={dim}; pass dim >= the true embedding dimension"
+            )
+        if len(r):
+            by_len.setdefault(len(r), []).append(i)
+    for length, idxs in by_len.items():
+        V = np.stack([rows[i] for i in idxs])
+        proj = V @ P[:, :length].T  # (len(idxs), n_planes)
+        sigs[idxs] = ((proj > 0).astype(np.int64) << shifts).sum(axis=1)
+    return rows, sigs
+
+
 def hyperplane_signatures_df(
     df: DataFrame,
     id_col: str,
@@ -177,34 +211,13 @@ def hyperplane_signatures_df(
     one all-pairs bucket (the failure mode flagged in round-1 ADVICE).
     """
     P = plane_matrix(n_planes, dim)
-    shifts = np.arange(n_planes, dtype=np.int64)
 
     @F.pandas_udf("long")
     def sig_udf(vs: pd.Series) -> pd.Series:
-        m = len(vs)
-        if m == 0:
+        if len(vs) == 0:
             return pd.Series([], dtype=np.int64)
-        out = np.zeros(m, dtype=np.int64)  # null/empty vectors sign to 0
-        by_len: dict[int, list[int]] = {}
-        rows: list[np.ndarray | None] = []
-        for i, v in enumerate(vs):
-            if v is None:
-                rows.append(None)
-                continue
-            r = np.asarray(v, dtype=np.float64)
-            rows.append(r)
-            if len(r) > dim:
-                raise ValueError(
-                    f"hyperplane_signatures_df: vector of length {len(r)} exceeds "
-                    f"plane dim={dim}; pass dim >= the true embedding dimension"
-                )
-            if len(r):
-                by_len.setdefault(len(r), []).append(i)
-        for length, idxs in by_len.items():
-            V = np.stack([rows[i] for i in idxs])
-            proj = V @ P[:, :length].T  # (len(idxs), n_planes)
-            out[idxs] = ((proj > 0).astype(np.int64) << shifts).sum(axis=1)
-        return pd.Series(out)
+        _, sigs = _rows_and_signatures(list(vs), P, dim)
+        return pd.Series(sigs)
 
     return df.select(F.col(id_col), sig_udf(F.col(vec_col)).alias(out_col))
 

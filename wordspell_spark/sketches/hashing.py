@@ -56,6 +56,20 @@ def hash64(values) -> np.ndarray:
     return pd.util.hash_array(arr, hash_key=_HASH_KEY_1)
 
 
+def dedupe_values(vals: np.ndarray) -> np.ndarray:
+    """Value-level dedupe that distinguishes exactly what hash64 distinguishes.
+
+    Floats are deduped on the raw float64 bit pattern so +0.0 / -0.0 (and
+    distinct NaN payloads) stay separate — ``hash64`` hashes bits, not
+    numeric equality, and an idempotent-update dedupe must not collapse
+    values the hash would have kept apart.
+    """
+    if vals.dtype.kind == "f":
+        v = np.ascontiguousarray(vals, dtype=np.float64)
+        return np.unique(v.view(_U64)).view(np.float64)
+    return np.unique(vals)
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain constant mix)."""
     x = x.astype(_U64, copy=True)
