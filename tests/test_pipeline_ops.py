@@ -155,6 +155,20 @@ class TestSimilarity:
         # clustered data + 4 bands of 2 planes → near-total recall
         assert recall >= 0.6, f"LSH recall too low: {recall}"
 
+    def test_lsh_topk_strategies_identical(self, emb_df):
+        """The broadcast single-pass kernel and the banded-join fallback are
+        two physical plans for one logical operator — results must match
+        bit-for-bit (same candidates, same cumsum-exact cosines, same
+        window order)."""
+        from wordspell_spark.operators.similarity import lsh_topk
+
+        q = emb_df.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
+        a = sorted(tuple(r) for r in lsh_topk(emb_df, q, k=5).collect())
+        b = sorted(
+            tuple(r) for r in lsh_topk(emb_df, q, k=5, max_broadcast_queries=0).collect()
+        )
+        assert a == b
+
     def test_ivf_recall_vs_brute_force(self, emb_df):
         from wordspell_spark.operators.similarity import brute_force_topk, ivf_topk
 

@@ -102,14 +102,28 @@ def test_minhash_python_stage_appears_once(spark, docs):
         assert n_py == 1, plan
 
 
-def test_lsh_topk_signature_udfs_bounded(spark, testdata_dir):
+def test_lsh_topk_broadcast_single_pass(spark, testdata_dir):
+    """Small query side -> ONE corpus-scan MapInPandas + a tiny merge window;
+    no per-band explode, no join, no distinct in the plan."""
     from wordspell_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
     plan = _plan(lsh_topk(emb, q, k=5))
-    # one signature UDF per side (query + corpus) and one cosine re-rank UDF;
-    # a regression that clones the matmul per band would raise this count
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("ArrowEvalPython") == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_lsh_topk_banded_join_fallback(spark, testdata_dir):
+    """Large query side -> banded join strategy: one signature UDF per side
+    + one cosine re-rank UDF; a regression that clones the matmul per band
+    would raise this count."""
+    from wordspell_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
+    plan = _plan(lsh_topk(emb, q, k=5, max_broadcast_queries=0))
     assert plan.count("ArrowEvalPython") <= 3, plan
     # the candidate join runs on band keys
     assert "band_bits" in plan

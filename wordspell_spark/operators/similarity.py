@@ -232,20 +232,189 @@ def lsh_topk(
     n_planes: int = 16,
     n_bands: int = 8,
     dim: int = 64,
+    max_broadcast_queries: int = 2048,
 ) -> DataFrame:
     """ANN top-k: candidates share ≥1 LSH band with the query, then exact
-    cosine re-rank.  The join key is (band_idx, band_bits) — corpus-side
-    work is proportional to bucket collisions, not corpus size × queries.
+    cosine re-rank.
+
+    Two physical strategies behind one logical contract (identical results):
+
+    - **broadcast kernel** (query side ≤ ``max_broadcast_queries`` rows —
+      the common serving shape): signatures, band match, cumsum-exact
+      cosine and a conservative partition-local top-k all run in ONE
+      ``mapInPandas`` pass over the corpus; the only shuffle is the tiny
+      per-query merge window.  Two stages total, a single corpus scan at
+      any scale — this replaced a ~7-stage explode/join/distinct plan
+      whose fixed stage overhead dominated (15 s for 65 ms of compute).
+    - **banded join** (large query sides): per-band explode + join on
+      (band_idx, band_bits) with IDs-only candidates — corpus-side work
+      proportional to bucket collisions, not |corpus| × |queries|.
 
     Bands of n_planes/n_bands planes each trade recall (more bands → more
-    candidates) against cost; planes partition the signature.  The 16/8
-    default measured recall 0.96-0.98 vs brute force at k=5 on the 64-dim
-    fixtures (8/4 gave 0.70-0.84 at the same wall).  Signatures
-    run on the vectorized numpy path (``hyperplane_signatures_df``); the
-    exact re-rank stays Catalyst zip_with so the cosine values are
-    bit-identical to the brute-force oracle.
+    candidates) against cost.  The 16/8 default measured recall 0.96-0.98
+    vs brute force at k=5 on the 64-dim fixtures (8/4 gave 0.70-0.84).
+    Cosines accumulate left-to-right (cumsum trick) in both strategies, so
+    values are bit-identical to the brute-force / DuckDB oracle.
     """
     assert n_planes % n_bands == 0
+    head = queries.select(query_id_col, vec_col).take(max_broadcast_queries + 1)
+    if len(head) <= max_broadcast_queries:
+        return _lsh_topk_broadcast(
+            vectors, head, k, id_col, vec_col, query_id_col, n_planes, n_bands, dim
+        )
+    return _lsh_topk_banded_join(
+        vectors, queries, k, id_col, vec_col, query_id_col, n_planes, n_bands, dim
+    )
+
+
+def _spark_type(df: DataFrame, col: str) -> str:
+    return df.schema[col].dataType.simpleString()
+
+
+def _lsh_topk_broadcast(
+    vectors: DataFrame,
+    q_rows: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    n_planes: int,
+    n_bands: int,
+    dim: int,
+) -> DataFrame:
+    """Single-pass corpus kernel for a driver-collected query set.
+
+    Partition-local pruning is conservative: within each Arrow batch and
+    query we keep every candidate whose raw cosine is within 1e-6 of the
+    k-th best — since |x - round(x, 6)| ≤ 5e-7, that margin keeps every row
+    that could still win the global (round(sim,6) DESC, neighbor_id ASC)
+    window, so the merge result is identical to scoring all candidates.
+    Null-length-mismatch sims (→ NULL, sorts last) are capped at k per
+    batch; NaN sims (zero-length vectors; Spark sorts NaN greatest) are
+    all kept.  The global window then reproduces the banded-join ordering
+    bit-for-bit.
+    """
+    w_bits = n_planes // n_bands
+    mask = (1 << w_bits) - 1
+    P = plane_matrix(n_planes, dim)
+    nq = len(q_rows)
+    q_ids = np.asarray([r[query_id_col] for r in q_rows], dtype=object)
+    q_vecs, q_sigs = _rows_and_signatures([r[vec_col] for r in q_rows], P, dim)
+    q_len = np.asarray([-1 if v is None else len(v) for v in q_vecs])
+    q_bits = np.stack([(q_sigs >> (b * w_bits)) & mask for b in range(n_bands)])  # (n_bands, nq)
+    # query norms, left-to-right accumulation (cosine_udf parity)
+    q_norms = np.asarray(
+        [np.sqrt((v * v).cumsum()[-1]) if v is not None and len(v) else np.nan for v in q_vecs]
+    )
+    CHUNK = 2048  # corpus rows per mask block: bounds the (nq x CHUNK) matrices
+
+    def kernel(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), CHUNK):
+                chunk = pdf.iloc[lo : lo + CHUNK]
+                nbr = chunk[id_col].to_numpy()
+                rows, sigs = _rows_and_signatures(list(chunk[vec_col]), P, dim)
+                nc = len(rows)
+                c_len = np.asarray([-2 if v is None else len(v) for v in rows])
+                # band-match matrix: pair (q, c) is a candidate iff the two
+                # signatures agree on >= 1 band — the same predicate as the
+                # (band_idx, band_bits) equi-join in the banded strategy
+                M = np.zeros((nq, nc), dtype=bool)
+                for b in range(n_bands):
+                    cb = (sigs >> (b * w_bits)) & mask
+                    M |= q_bits[b][:, None] == cb[None, :]
+                M &= q_ids[:, None] != nbr[None, :]  # drop self-pairs
+                if not M.any():
+                    continue
+                len_eq = q_len[:, None] == c_len[None, :]
+                null_pairs = M & (~len_eq | (q_len < 0)[:, None] | (c_len < 0)[None, :])
+                zero_pairs = M & len_eq & (q_len == 0)[:, None]  # NaN (0/0), as Catalyst
+                live = M & len_eq & (q_len > 0)[:, None]
+                # BLAS selection scores: one matmul per distinct length —
+                # last-ulp off the sequential-cumsum truth, used only to pick
+                # survivors with a 3e-6 margin (covers round(…,6) reordering
+                # plus BLAS-vs-cumsum drift), then survivors are rescored
+                # exactly.  The merge window sees bit-identical sims.
+                sel = np.full((nq, nc), -np.inf)
+                for length in np.unique(q_len[q_len > 0]):
+                    qg = np.nonzero(q_len == length)[0]
+                    cg = np.nonzero(c_len == length)[0]
+                    if not len(qg) or not len(cg):
+                        continue
+                    Q = np.stack([q_vecs[i] for i in qg])
+                    C = np.stack([rows[i] for i in cg])
+                    cn = np.sqrt((C * C).sum(axis=1))
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        G = (Q @ C.T) / (q_norms[qg][:, None] * cn[None, :])
+                    sel[np.ix_(qg, cg)] = G
+                out_q, out_n, out_s = [], [], []
+                for q in np.nonzero(M.any(axis=1))[0]:
+                    cand = np.nonzero(live[q])[0]
+                    vals = sel[q, cand]
+                    fin = np.isfinite(vals)
+                    if fin.sum() > k:
+                        kth = np.partition(vals[fin], -k)[-k]
+                        cand = cand[vals >= kth - 3e-6]
+                    if len(cand):
+                        # exact rescore, sequential accumulation (parity)
+                        A = np.stack([q_vecs[q]] * len(cand))
+                        B = np.stack([rows[c] for c in cand])
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            dots = (A * B).cumsum(axis=1)[:, -1]
+                            nb = np.sqrt((B * B).cumsum(axis=1)[:, -1])
+                            sims = dots / (q_norms[q] * nb)
+                        out_q += [q_ids[q]] * len(cand)
+                        out_n += list(nbr[cand])
+                        out_s += [float(s) for s in sims]
+                    zc = np.nonzero(zero_pairs[q])[0]
+                    if len(zc):  # both-empty vectors: NaN, sorts greatest
+                        out_q += [q_ids[q]] * len(zc)
+                        out_n += list(nbr[zc])
+                        out_s += [float("nan")] * len(zc)
+                    nullc = np.nonzero(null_pairs[q])[0][:k]  # NULL sorts last
+                    if len(nullc):
+                        out_q += [q_ids[q]] * len(nullc)
+                        out_n += list(nbr[nullc])
+                        out_s += [None] * len(nullc)
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "__qid": out_q,
+                            "neighbor_id": out_n,
+                            "__raw": pd.Series(out_s, dtype=object),
+                        }
+                    )
+
+    # query ids ride through the kernel untyped; both contract and tests draw
+    # them from the corpus id column, so reuse its Spark type
+    schema = (
+        f"__qid {_spark_type(vectors, id_col)}, "
+        f"neighbor_id {_spark_type(vectors, id_col)}, __raw double"
+    )
+    scored = vectors.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            F.col("__qid").alias(query_id_col),
+            "neighbor_id",
+            F.round(F.col("__raw"), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _lsh_topk_banded_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    n_planes: int,
+    n_bands: int,
+    dim: int,
+) -> DataFrame:
     w_bits = n_planes // n_bands
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
