@@ -617,7 +617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = build_sketches(words, SketchSpec("hll", {"p": 12}), ["source"], "word")
         from wordspell_spark.sketches import hll
 
-        est = F.udf(lambda p: float(hll.estimate(hll.deserialize(bytes(p)))), "double")
+        @F.pandas_udf("double")
+        def est(payloads: pd.Series) -> pd.Series:
+            return payloads.map(lambda p: float(hll.estimate(hll.deserialize(bytes(p)))))
+
         return out.select("source", F.round(est("sketch"), 2).alias("est_distinct"), "items")
 
     def cms_top_tokens(spark, sf):

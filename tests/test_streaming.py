@@ -103,6 +103,39 @@ def test_epoch_replay_is_skipped(spark, tmp_path):
     assert completed_epochs(spark, state) == [0, 1]
 
 
+def test_epoch_regression_from_different_run_raises(spark, tmp_path):
+    """A low epoch id from a DIFFERENT streaming run (checkpoint deleted and
+    recreated → foreachBatch epochs restart at 0) must raise, not silently
+    skip every new batch (round-2 ADVICE)."""
+    import pytest
+
+    from wordspell_spark.harness import build_sketches
+    from wordspell_spark.sketches import SketchSpec
+    from wordspell_spark.streaming.incremental import merge_into_state, read_state
+
+    spec = SketchSpec("cms", {"eps": 0.01, "delta": 0.01})
+    state = str(tmp_path / "run_guard_state")
+    df = spark.createDataFrame([("a", ["x", "y"])], "source string, tokens array<string>")
+    partials = build_sketches(df, spec, ["source"], "tokens")
+
+    assert merge_into_state(spark, partials, spec, ["source"], state, epoch_id=2, run_id="run-A")
+    payload = bytes(read_state(spark, state).first()["sketch"])
+
+    # same run replaying an old epoch: fine, skipped
+    assert (
+        merge_into_state(spark, partials, spec, ["source"], state, epoch_id=1, run_id="run-A")
+        is False
+    )
+    # recreated checkpoint (new run id, epochs restart at 0): loud failure
+    with pytest.raises(RuntimeError, match="run-B"):
+        merge_into_state(spark, partials, spec, ["source"], state, epoch_id=0, run_id="run-B")
+    assert bytes(read_state(spark, state).first()["sketch"]) == payload
+    # a new-run epoch ABOVE the mark applies and re-stamps ownership
+    assert merge_into_state(spark, partials, spec, ["source"], state, epoch_id=3, run_id="run-B")
+    with pytest.raises(RuntimeError, match="run-A"):
+        merge_into_state(spark, partials, spec, ["source"], state, epoch_id=1, run_id="run-A")
+
+
 def test_stateful_sketch_stream(spark, tmp_path):
     """applyInPandasWithState keeps per-group sketch state in the state store;
     final emitted estimates equal the batch build."""

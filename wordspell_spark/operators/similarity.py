@@ -49,6 +49,12 @@ def cosine_udf():
     rank tie — so this UDF accumulates with ``cumsum(axis=1)``, which is
     inherently sequential per row: the same IEEE double additions in the
     same order, vectorized across the batch instead of across dimensions.
+
+    Precondition: array ELEMENTS must be non-null.  Arrow delivers an
+    element-level NULL to the UDF as NaN — indistinguishable from a real
+    NaN — so this UDF returns NaN where the Catalyst twin would return
+    NULL.  Row-level nulls and length mismatches do map to NULL, matching
+    the twin.  (Real-NaN elements propagate to NaN in both engines.)
     """
 
     @F.pandas_udf("double")
@@ -162,6 +168,13 @@ def _rows_and_signatures(vs, P: np.ndarray, dim: int) -> tuple[list, np.ndarray]
     One numpy matmul per distinct length; null/empty vectors sign to 0.
     Both ``hyperplane_signatures_df`` and the broadcast ``lsh_topk`` path
     call this, so their bucket assignment is identical by construction.
+
+    Vectors SHORTER than ``dim`` project against the first ``len`` plane
+    components — the same semantics as the sliced expression twin
+    (``F.slice(plane, 1, F.size(v))``).  Note the DuckDB contract oracle
+    embeds the full dim-width plane literals and assumes a uniform-dim
+    corpus; mixed-dimension inputs are outside its parity claim (vectors
+    LONGER than dim fail fast below).
     """
     n_planes = P.shape[0]
     shifts = np.arange(n_planes, dtype=np.int64)
@@ -480,6 +493,11 @@ def ivf_train_centroids(
         .select("__v")
         .collect()
     )
+    if not seed_rows:
+        raise ValueError("ivf_train_centroids: empty corpus")
+    # corpora smaller than n_cells seed fewer cells (cnts/nz arrays must
+    # match the centroid count — round-2 ADVICE crash)
+    n_cells = min(n_cells, len(seed_rows))
     C = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in seed_rows])
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 

@@ -84,6 +84,63 @@ def current_epoch(spark: SparkSession, state_path: str) -> int | None:
     return done[-1] if done else None
 
 
+def _run_marker_path(spark: SparkSession, state_path: str):
+    return _hadoop_fs(spark, _epochs_dir(state_path).rstrip("/") + "/_run_id")
+
+
+def _read_run_marker(spark: SparkSession, state_path: str) -> str | None:
+    fs, p = _run_marker_path(spark, state_path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b != -1 and len(data) < 4096:
+            data.append(b)
+            b = stream.read()
+        return bytes(data).decode("utf-8").strip()
+    finally:
+        stream.close()
+
+
+def _write_run_marker(spark: SparkSession, state_path: str, run_id: str) -> None:
+    fs, p = _run_marker_path(spark, state_path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(run_id.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def streaming_run_id(spark: SparkSession, checkpoint_path: str) -> str | None:
+    """The streaming query id recorded in the checkpoint's ``metadata`` file.
+
+    Structured Streaming mints a fresh UUID whenever a checkpoint directory
+    is created, so this identifies the *run lineage*: deleting/recreating
+    the checkpoint (which restarts foreachBatch epoch ids at 0) yields a
+    different id even at the same path.  None until the query has started.
+    """
+    import json
+
+    fs, p = _hadoop_fs(spark, checkpoint_path.rstrip("/") + "/metadata")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b != -1 and len(data) < 65536:
+            data.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    try:
+        return str(json.loads(bytes(data).decode("utf-8"))["id"])
+    except (ValueError, KeyError):
+        return None
+
+
 def merge_into_state(
     spark: SparkSession,
     new_partials: DataFrame,
@@ -92,6 +149,7 @@ def merge_into_state(
     state_path: str,
     epoch_id: int,
     keep_epochs: int = 2,
+    run_id: str | None = None,
 ) -> bool:
     """Merge freshly-built partials into the persistent sketch-state table.
 
@@ -99,10 +157,28 @@ def merge_into_state(
     already-committed epoch (skipped — re-merging would double-count the
     additive sketches).  Payloads are KBs per group, so the read-merge-write
     is cheap and safe per micro-batch.
+
+    ``run_id`` guards the replay skip (round-2 ADVICE): foreachBatch epoch
+    ids restart at 0 when a streaming checkpoint is deleted/recreated or a
+    different query is pointed at the same ``state_path`` — without the
+    guard every new batch would satisfy ``epoch_id <= latest`` and be
+    silently dropped.  The id of the run that committed the high-water mark
+    is persisted next to the epoch dirs; a low epoch from a DIFFERENT run
+    raises instead of skipping.
     """
     latest = current_epoch(spark, state_path)
     if latest is not None and epoch_id <= latest:
-        return False  # epoch replay after a downstream crash: already absorbed
+        committed_run = _read_run_marker(spark, state_path)
+        if run_id is not None and committed_run is not None and run_id != committed_run:
+            raise RuntimeError(
+                f"epoch {epoch_id} <= committed high-water mark {latest} under "
+                f"{state_path}, but it comes from streaming run {run_id!r} while the "
+                f"state was committed by run {committed_run!r}.  The checkpoint was "
+                f"deleted/recreated (epoch ids restarted) or another query shares this "
+                f"state_path — skipping would silently drop all new data.  Point the "
+                f"new run at a fresh state_path, or restore the original checkpoint."
+            )
+        return False  # same-run epoch replay after a downstream crash: already absorbed
 
     if latest is None:
         combined = new_partials
@@ -132,6 +208,8 @@ def merge_into_state(
     # THIS epoch has no _SUCCESS and is simply replaced; it becomes current
     # only once the write (and its _SUCCESS) completes
     merged.write.mode("overwrite").parquet(_epoch_dir(state_path, epoch_id))
+    if run_id is not None:
+        _write_run_marker(spark, state_path, run_id)
 
     # GC: drop everything but the newest keep_epochs successful states
     done = completed_epochs(spark, state_path)
@@ -159,13 +237,17 @@ def incremental_sketch_query(
     streaming twin of operators/checkpoint.py's bucket resume.
     """
     stream = spark.readStream.schema(input_schema).parquet(input_path)
+    run_cache: dict[str, str | None] = {}
 
     def absorb(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
+        sess = batch_df.sparkSession
+        if "id" not in run_cache:  # checkpoint metadata exists once the query runs
+            run_cache["id"] = streaming_run_id(sess, checkpoint_path)
         partials = build_sketches(batch_df, spec, group_cols, value_col)
         merge_into_state(
-            batch_df.sparkSession, partials, spec, group_cols, state_path, epoch_id
+            sess, partials, spec, group_cols, state_path, epoch_id, run_id=run_cache["id"]
         )
 
     return (
