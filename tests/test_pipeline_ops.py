@@ -276,6 +276,131 @@ class TestImageHeaderDecode:
         assert got[2]["format"] in ("jpeg", "png", "webp")  # fake fallback
 
 
+class TestPngPixelPath:
+    """REAL pixel decode/features/resize for PNG — pure stdlib, no codec
+    library (round-2 verdict item 3)."""
+
+    def test_decode_roundtrip_gray_and_rgb(self):
+        from wordspell_spark.operators.multimodal import decode_png_pixels, make_png
+
+        rng = np.random.default_rng(11)
+        gray = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+        got = decode_png_pixels(make_png(0, 0, gray))
+        assert got.shape == (13, 17, 1) and (got[:, :, 0] == gray).all()
+
+        rgb = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+        got = decode_png_pixels(make_png(0, 0, rgb))
+        assert got.shape == (9, 7, 3) and (got == rgb).all()
+
+        # the legacy gradient fill is its own oracle: row i == i % 256
+        got = decode_png_pixels(make_png(5, 300))
+        assert got.shape == (300, 5, 1)
+        assert all((got[i] == i % 256).all() for i in range(300))
+
+    def test_decode_all_five_filters(self):
+        """Hand-filter a reference image with each scanline filter type and
+        check the unfilter reconstructs it exactly."""
+        import struct as S
+        import zlib
+
+        from wordspell_spark.operators.multimodal import _png_chunk, decode_png_pixels
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+        h, w, c = px.shape
+
+        def paeth(a, b, cc):
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+        flat = px.reshape(h, w * c).astype(int)
+        raw = bytearray()
+        for y in range(h):
+            ftype = y % 5
+            prev = flat[y - 1] if y else np.zeros(w * c, dtype=int)
+            cur = flat[y]
+            raw.append(ftype)
+            for x in range(w * c):
+                left = cur[x - c] if x >= c else 0
+                ul = prev[x - c] if x >= c else 0
+                if ftype == 0:
+                    v = cur[x]
+                elif ftype == 1:
+                    v = cur[x] - left
+                elif ftype == 2:
+                    v = cur[x] - prev[x]
+                elif ftype == 3:
+                    v = cur[x] - ((left + prev[x]) >> 1)
+                else:
+                    v = cur[x] - paeth(left, prev[x], ul)
+                raw.append(v & 0xFF)
+        ihdr = S.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+        got = decode_png_pixels(payload)
+        assert got is not None and (got == px).all()
+
+    def test_features_follow_pixels_not_md5(self):
+        """Two engine-built PNGs with known pixel content: features order and
+        differ exactly as the pixels dictate."""
+        from wordspell_spark.operators.multimodal import make_png, png_features
+
+        dark = png_features(make_png(0, 0, np.full((32, 32), 20, dtype=np.uint8)))
+        bright = png_features(make_png(0, 0, np.full((32, 32), 230, dtype=np.uint8)))
+        assert abs(dark[0] - 20 / 255) < 1e-6 and abs(bright[0] - 230 / 255) < 1e-6
+        assert dark[0] < bright[0]
+        assert dark[1] < 1e-9 and bright[1] < 1e-9  # constant image -> zero std
+        assert dark[5] == dark[6] == 0.0  # ... and zero gradient
+
+        stripes = np.zeros((32, 32), dtype=np.uint8)
+        stripes[:, ::2] = 255
+        f = png_features(make_png(0, 0, stripes))
+        assert f[1] > 0.4 and f[5] > 0.9 and f[6] == 0.0  # vertical stripes: x-gradient only
+        assert abs(f[7]) < 1e-6  # square -> log-aspect 0
+
+    def test_resize_real_pixels(self):
+        from wordspell_spark.operators.multimodal import (
+            decode_png_pixels,
+            make_png,
+            resize_png_pixels,
+        )
+
+        px = np.full((200, 300), 77, dtype=np.uint8)
+        out = resize_png_pixels(decode_png_pixels(make_png(0, 0, px)), 128, 85)
+        assert out.shape == (85, 128, 1) and (out == 77).all()
+
+    def test_resize_images_emits_real_png(self, spark):
+        from wordspell_spark.operators.multimodal import (
+            decode_png_pixels,
+            make_png,
+            resize_images,
+        )
+
+        rows = [(1, make_png(0, 0, np.full((200, 300), 9, dtype=np.uint8))),
+                (2, b"not an image")]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r for r in resize_images(df, 128, 128).collect()}
+        assert (got[1]["width"], got[1]["height"]) == (128, 85)
+        px = decode_png_pixels(bytes(got[1]["payload"]))
+        assert px.shape == (85, 128, 1) and (px == 9).all()
+        assert len(bytes(got[2]["payload"])) == 16  # md5 stub tier for non-images
+
+    def test_decode_metadata_features_real_for_png(self, spark):
+        from wordspell_spark.operators.multimodal import decode_metadata, make_png
+
+        rows = [(1, make_png(0, 0, np.full((16, 16), 10, dtype=np.uint8))),
+                (2, make_png(0, 0, np.full((16, 16), 250, dtype=np.uint8)))]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r for r in decode_metadata(df).collect()}
+        assert got[1]["features"][0] < got[2]["features"][0]
+        assert abs(got[2]["features"][0] - 250 / 255) < 1e-6
+
+
 class TestMultimodal:
     def test_decode_schema_and_determinism(self, docs_df):
         from wordspell_spark.operators.multimodal import FEATURE_DIM, attach_binary, decode_metadata

@@ -9,12 +9,17 @@ Decode is tiered (``_decode``):
 1. **Real container parsing** — ``decode_image_header`` reads the actual
    bytes of PNG / JPEG / GIF / BMP / WEBP headers (pure ``struct``, no
    image libraries needed) and returns true (width, height, format).
+   For PNG the pixel path is real too: ``decode_png_pixels`` (stdlib
+   zlib inflate + scanline unfilter, all 5 filters, every 8-bit color
+   type) feeds ``png_features`` statistics and nearest-neighbor
+   ``resize_images`` re-encoded via ``make_png``.
 2. **PIL, feature-detected** — if Pillow is importable, unrecognized
-   containers fall through to a full decoder (and ``resize_images`` /
-   ``image_features`` operate on real pixels).
+   containers fall through to a full decoder (and ``resize_images``
+   operates on real pixels).
 3. **Deterministic fake** — synthetic payloads that are not images (e.g.
    the text-derived fixture corpus) get the clearly-marked md5-derived
    stand-in, so plumbing stays testable in codec-less containers.
+   JPEG/WEBP/GIF pixel decode stays behind this tier without a codec.
 
 At 100 TB the rule is: never shuffle the binary column.  All derivations
 here are row-local (mapInPandas, no groupBy touches ``payload``); any
@@ -158,29 +163,184 @@ def _decode(payload: bytes) -> tuple[int, int, str]:
     return _fake_decode(payload)
 
 
-def make_png(width: int, height: int) -> bytes:
-    """Build a REAL, fully valid 8-bit grayscale PNG of the given size
-    (IHDR + zlib IDAT + IEND, correct CRCs) — pure stdlib.  Used by tests
-    and the ``multimodal_real_decode`` contract query to prove the header
-    parser runs against actual container bytes."""
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
     import zlib
 
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + bytes([i % 256] * width) for i in range(height))
+
+def make_png(width: int, height: int, pixels: np.ndarray | None = None) -> bytes:
+    """Build a REAL, fully valid 8-bit PNG (IHDR + zlib IDAT + IEND, correct
+    CRCs) — pure stdlib.  Used by tests and the ``multimodal_real_decode``
+    contract query to prove the header parser runs against actual container
+    bytes.
+
+    ``pixels``: optional uint8 array — (H, W) grayscale or (H, W, 3) RGB.
+    Defaults to the original row-gradient grayscale fill."""
+    import zlib
+
+    if pixels is None:
+        color_type = 0
+        raw = b"".join(b"\x00" + bytes([i % 256] * width) for i in range(height))
+    else:
+        px = np.ascontiguousarray(pixels, dtype=np.uint8)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        height, width = px.shape[:2]
+        color_type = {1: 0, 3: 2}[px.shape[2]]
+        raw = b"".join(b"\x00" + px[i].tobytes() for i in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 9))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray | None:
+    """REAL PNG pixel decode — pure stdlib (zlib inflate + per-row
+    unfilter), the inverse of ``make_png``.  No image library needed.
+
+    Supports non-interlaced 8-bit-depth PNGs of every color type (gray,
+    RGB, palette, gray+alpha, RGBA) and all five scanline filters.
+    Returns an (H, W, C) uint8 array, or None for anything else (16-bit,
+    Adam7 interlace, truncated/corrupt streams) — callers fall back to the
+    md5 stub path, so an unsupported file degrades, never crashes.
+    """
+    import zlib
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, plte, trns = 8, [], None, None
+    width = height = channels = None
+    try:
+        while pos + 8 <= len(payload):
+            (length,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None
+            if typ == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data[:13]
+                )
+                if depth != 8 or interlace != 0:
+                    return None
+                channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+                if channels is None:
+                    return None
+                color_type = color
+            elif typ == b"PLTE":
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif typ == b"tRNS":
+                trns = np.frombuffer(data, dtype=np.uint8)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + length
+        if width is None or not idat:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+    except (struct.error, zlib.error):
+        return None
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        return None
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row_start = y * (1 + stride)
+        ftype = raw[row_start]
+        filt = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=row_start + 1)
+        if ftype == 0:  # None
+            cur = filt.copy()
+        elif ftype == 2:  # Up
+            cur = filt + prev  # uint8 arithmetic wraps mod 256, as the spec
+        elif ftype == 1:  # Sub — sequential along the row, per byte lane
+            cur = filt.copy()
+            for x in range(bpp, stride):
+                cur[x] += cur[x - bpp]
+        elif ftype == 3:  # Average
+            cur = filt.copy()
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(filt[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = filt.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(filt[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    px = out.reshape(height, width, channels)
+    if color_type == 3:  # palette → RGB(A)
+        if plte is None or px.max() >= len(plte):
+            return None
+        rgb = plte[px[:, :, 0]]
+        if trns is not None:
+            alpha = np.full((height, width, 1), 255, dtype=np.uint8)
+            idx = px[:, :, 0]
+            in_rng = idx < len(trns)
+            alpha[in_rng, 0] = trns[idx[in_rng]]
+            return np.concatenate([rgb, alpha], axis=2)
+        return rgb
+    return px
+
+
+def png_luminance(px: np.ndarray) -> np.ndarray:
+    """(H, W) float64 luminance in [0, 255] from any decoded channel count
+    (gray / gray+alpha use the gray channel; RGB(A) uses BT.601 weights)."""
+    if px.shape[2] <= 2:
+        return px[:, :, 0].astype(np.float64)
+    p = px.astype(np.float64)
+    return 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+
+
+def png_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray | None:
+    """REAL pixel features for PNG payloads (None for other formats).
+
+    8 deterministic luminance statistics — mean, std, quartiles, mean
+    |horizontal|/|vertical| gradient, log-aspect — the classic cheap
+    image-quality/dedup signals.  A production model plugs in here as
+    Arrow-batched inference with the same (payload → float32[dim])
+    contract."""
+    px = decode_png_pixels(payload)
+    if px is None:
+        return None
+    lum = png_luminance(px) / 255.0
+    h, w = lum.shape
+    gx = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
+    gy = float(np.abs(np.diff(lum, axis=0)).mean()) if h > 1 else 0.0
+    q25, q50, q75 = (float(x) for x in np.quantile(lum, [0.25, 0.5, 0.75]))
+    feats = np.array(
+        [float(lum.mean()), float(lum.std()), q25, q50, q75, gx, gy, float(np.log(w / h))],
+        dtype=np.float32,
+    )
+    if dim <= 8:
+        return feats[:dim]
+    return np.pad(feats, (0, dim - 8))
+
+
+def resize_png_pixels(px: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    """Nearest-neighbor resample (deterministic, pure numpy index math)."""
+    h, w = px.shape[:2]
+    rows = np.minimum((np.arange(nh) * h) // nh, h - 1)
+    cols = np.minimum((np.arange(nw) * w) // nw, w - 1)
+    return px[rows][:, cols]
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -191,6 +351,15 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     rng = np.random.default_rng(seed)
     v = rng.standard_normal(dim).astype(np.float32)
     return v / np.linalg.norm(v)
+
+
+def _features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Tiered features: REAL pixel statistics for PNG payloads
+    (``png_features`` — stdlib decode, no image library), md5 stand-in for
+    everything else (JPEG/WEBP entropy coding needs a codec this container
+    doesn't ship)."""
+    real = png_features(payload, dim)
+    return real if real is not None else _fake_features(payload, dim)
 
 
 def decode_metadata(binary_df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
@@ -206,7 +375,7 @@ def decode_metadata(binary_df: DataFrame, id_col: str = "doc_id", payload_col: s
                 continue
             payloads = pdf[payload_col].to_list()
             meta = [_decode(p) for p in payloads]
-            feats = [_fake_features(p) for p in payloads]
+            feats = [_features(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(),
@@ -238,10 +407,14 @@ def resize_images(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Resize stub: clamps the fake-decoded dims to the target box (aspect
-    preserved) and re-emits a deterministic payload.  A real deployment
-    swaps the body for PIL/libvips; the Spark contract — row-local
-    mapInPandas, binary in/binary out, no shuffle — is the tested part."""
+    """Aspect-preserving resize into the target box.
+
+    Tiered like ``_decode``: PNG payloads get REAL pixel resampling
+    (stdlib ``decode_png_pixels`` → nearest-neighbor → re-encoded PNG);
+    other real images go through PIL when importable; synthetic payloads
+    keep the clearly-marked md5 stand-in.  The Spark contract — row-local
+    mapInPandas, binary in/binary out, no shuffle — is identical on every
+    tier."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -252,7 +425,14 @@ def resize_images(
                 w, h, _ = _decode(payload)
                 scale = min(target_w / w, target_h / h, 1.0)
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                if HAVE_PIL and decode_image_header(payload) is not None:
+                px = decode_png_pixels(payload)
+                if px is not None:
+                    resized = resize_png_pixels(px, nw, nh)
+                    if resized.shape[2] in (1, 3):
+                        out_bytes = make_png(nw, nh, resized[:, :, 0] if resized.shape[2] == 1 else resized)
+                    else:  # alpha channels: keep the luminance plane
+                        out_bytes = make_png(nw, nh, resized[:, :, 0])
+                elif HAVE_PIL and decode_image_header(payload) is not None:
                     import io  # pragma: no cover — real-pixel path, PIL-gated
 
                     with _PIL_Image.open(io.BytesIO(payload)) as im:
