@@ -40,8 +40,22 @@ def clean_index_text(col: Column) -> Column:
 
 
 def strip_html(col: Column) -> Column:
-    """Insert spaces at tag boundaries then drop tags (builder.go:248-271)."""
-    return F.regexp_replace(col, r"<[^>]*>", " ")
+    """Insert spaces at tag boundaries, drop tags, then unescape the five
+    standard entities (builder.go:248-271).
+
+    Deliberate divergence from bluemonday StrictPolicy, documented for the
+    parity record: bluemonday re-escapes text nodes (``&`` → ``&amp;``),
+    which the reference's downstream alphabet regex then shreds into an
+    ``amp`` token; here entities decode to their characters and the
+    alphabet filter simply drops them.  Unclosed tags (``<foo`` with no
+    ``>``) survive to the alphabet filter rather than swallowing the rest
+    of the line.  ``&amp;`` decodes LAST so ``&amp;lt;`` yields the
+    literal ``&lt;`` (no double-unescape)."""
+    c = F.regexp_replace(col, r"<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
 
 
 def tokenize(col: Column) -> Column:

@@ -44,6 +44,47 @@ def jdbc_table(
     return reader.load()
 
 
+def jdbc_partition_predicates(
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+) -> list[str | None]:
+    """The WHERE predicates Spark's JDBCRelation.columnPartition generates
+    for a partitioned scan — mirrored in Python so the paging arithmetic is
+    testable without a database (the sandbox has none; the reference covers
+    its OFFSET/LIMIT boundary arithmetic with testcontainers Postgres,
+    index/builder.go:110-156 + repo/catalog/catalog_test.go:12-40).
+
+    Faithful to the Spark algorithm: integer stride
+    ``upper/n - lower/n`` (floor division), first partition unbounded
+    below and last unbounded above — so the union is COMPLETE over the
+    column's whole domain (rows outside [lower, upper) still land in the
+    edge partitions, a Spark semantic the OFFSET/LIMIT loop lacks), and
+    consecutive ``>= v AND < v+stride`` ranges never overlap.  A ``None``
+    entry means "no predicate" (single-partition case).
+    """
+    if num_partitions <= 1 or upper_bound == lower_bound:
+        return [None]
+    # Spark clamps the partition count when the range is narrower than the
+    # requested parallelism (JDBCRelation.scala): at most one value/partition
+    n = min(num_partitions, max(upper_bound - lower_bound, 1))
+    import math
+
+    stride = math.floor(upper_bound / n) - math.floor(lower_bound / n)
+    out: list[str | None] = []
+    current = lower_bound
+    for i in range(n):
+        lo = f"{partition_column} >= {current}" if i != 0 else None
+        current += stride
+        hi = f"{partition_column} < {current}" if i != n - 1 else None
+        if lo and hi:
+            out.append(f"{lo} AND {hi}")
+        else:
+            out.append(hi or lo)
+    return out
+
+
 def save_sketch_table(sketches: DataFrame, path: str) -> None:
     """S8 sink: persist (group..., kind?, sketch BINARY, rows, items).
 
