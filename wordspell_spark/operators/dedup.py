@@ -10,12 +10,12 @@ Design rules for 100 TB:
 * Every candidate-pair generator is *bucketed* (LSH bands, simhash bands,
   same-source blocking) so the only shuffles are groupBys on small bucket
   keys — never an all-pairs crossJoin on the full corpus.
-* All hashes are md5-derived (`h64`) so results are deterministic across
-  engines — the DuckDB oracles in __spark_entry__.py reproduce them
-  bit-for-bit. xxhash64 would be faster but is Spark-private; md5 keeps the
-  correctness gate honest and is still JVM-side codegen.  In a production
-  deployment where no cross-engine oracle is needed, substituting
-  ``F.xxhash64`` into ``h64`` (one line) roughly halves signature cost.
+* Hashes default to the md5-derived family (`h64`) so results are
+  deterministic across engines — the DuckDB oracles in __spark_entry__.py
+  reproduce them bit-for-bit; the correctness gate stays on md5.  The
+  signature operators additionally take ``hash_mode="fast"`` — a vectorized
+  SipHash family for production deployments that need no cross-engine
+  oracle (``_hash60_batch``; pair-set parity tested).
 * Signature computation (minhash, simhash) runs as Arrow-batched Python —
   a single mapInPandas per relation doing tokenize→shingle→md5→fold with
   numpy, bit-identical to the Catalyst expression twins kept below
@@ -100,6 +100,39 @@ def _py_words(text: str) -> list[str]:
 def _md5_60(s: str) -> int:
     """Python twin of h64: first 15 hex chars of md5 as a 60-bit int."""
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+_FAST_HASH_KEY = "wordspellfast--0"  # exactly 16 bytes, pandas hash_array contract
+
+
+def _hash60_batch(strings, fast: bool) -> np.ndarray:
+    """60-bit positive int64 hashes of a string batch.
+
+    ``fast=False`` (default everywhere): the md5-derived family the DuckDB
+    oracles reproduce bit-for-bit — the correctness-gate mode.
+    ``fast=True``: the production family (``hash_mode="fast"``) — one
+    vectorized SipHash pass over the whole batch instead of a per-string
+    md5 loop.  MinHash/SimHash only need a uniform 64-bit family, so the
+    detected pair sets agree (parity-tested on the fixtures); what is lost
+    is only cross-engine reproducibility of the raw hash values.  (Swapping
+    ``F.xxhash64`` into ``h64`` does the same for the Catalyst-side
+    expression twins.)
+    """
+    if fast:
+        arr = np.asarray(list(strings), dtype=object)
+        if arr.size == 0:
+            return np.empty(0, dtype=np.int64)
+        return (pd.util.hash_array(arr, hash_key=_FAST_HASH_KEY) >> np.uint64(4)).astype(
+            np.int64
+        )
+    return np.fromiter((_md5_60(s) for s in strings), dtype=np.int64, count=len(strings))
+
+
+def _check_hash_mode(hash_mode: str) -> bool:
+    """Validate a hash_mode flag; returns the ``fast`` boolean."""
+    if hash_mode not in ("md5", "fast"):
+        raise ValueError(f"hash_mode must be 'md5' or 'fast', got {hash_mode!r}")
+    return hash_mode == "fast"
 
 
 # -------------------------------------------------------- cache ownership
@@ -248,6 +281,7 @@ def minhash_signatures_df(
     id_col: str = "doc_id",
     num_perm: int = DEFAULT_NUM_PERM,
     n: int = 3,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(id, sig) — the hot-path MinHash signature, one Arrow-batched UDF.
 
@@ -257,8 +291,11 @@ def minhash_signatures_df(
     in either runtime.  Values are bit-identical to ``minhash_signature``
     (property-tested).  Docs with no shingles (< n words) are dropped, as
     the expression form's size(sh) > 0 filter did.
+    ``hash_mode``: "md5" (default; DuckDB-oracle-reproducible) or "fast"
+    (production SipHash family, see ``_hash60_batch``).
     """
     masks = np.array(_seed_masks(num_perm), dtype=np.int64)
+    fast = _check_hash_mode(hash_mode)
 
     # mapInPandas, not pandas_udf + filter: a filter on a UDF output column
     # gets its own ArrowEvalPython node (Catalyst extracts the UDF for the
@@ -275,7 +312,7 @@ def minhash_signatures_df(
                 if len(w) < n:
                     continue
                 sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
-                hs = np.fromiter((_md5_60(s) for s in sh), dtype=np.int64, count=len(sh))
+                hs = _hash60_batch(sh, fast)
                 # min over (h ^ mask) per seed; < 2^60 never touches the sign bit
                 ids.append(doc_id)
                 sigs.append((hs[:, None] ^ masks[None, :]).min(axis=0).tolist())
@@ -293,6 +330,7 @@ def minhash_band_hashes_df(
     num_perm: int = DEFAULT_NUM_PERM,
     band_rows: int = DEFAULT_BAND_ROWS,
     n: int = 3,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(id, band_idx, band_hash) — banded LSH keys, computed inside ONE UDF.
 
@@ -305,6 +343,7 @@ def minhash_band_hashes_df(
     assert num_perm % band_rows == 0
     n_bands = num_perm // band_rows
     masks = np.array(_seed_masks(num_perm), dtype=np.int64)
+    fast = _check_hash_mode(hash_mode)
 
     # one mapInPandas emits the exploded (id, band_idx, band_hash) rows
     # directly — no post-UDF filter (which would clone the Python stage, see
@@ -320,18 +359,17 @@ def minhash_band_hashes_df(
                 if len(w) < n:
                     continue
                 sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
-                hs = np.fromiter((_md5_60(s) for s in sh), dtype=np.int64, count=len(sh))
+                hs = _hash60_batch(sh, fast)
                 sig = (hs[:, None] ^ masks[None, :]).min(axis=0)
                 ids.extend([doc_id] * n_bands)
                 bidx.append(band_idx)
                 bh.append(
-                    np.fromiter(
-                        (
-                            _md5_60(",".join(str(v) for v in sig[b * band_rows : (b + 1) * band_rows]))
+                    _hash60_batch(
+                        [
+                            ",".join(str(v) for v in sig[b * band_rows : (b + 1) * band_rows])
                             for b in range(n_bands)
-                        ),
-                        dtype=np.int64,
-                        count=n_bands,
+                        ],
+                        fast,
                     )
                 )
             yield pd.DataFrame(
@@ -354,6 +392,7 @@ def minhash_lsh_pairs(
     num_perm: int = DEFAULT_NUM_PERM,
     band_rows: int = DEFAULT_BAND_ROWS,
     n: int = 3,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -370,7 +409,7 @@ def minhash_lsh_pairs(
     to free executor storage (long-lived sessions would otherwise accumulate
     cached blocks until LRU pressure).
     """
-    banded = minhash_band_hashes_df(docs, text_col, id_col, num_perm, band_rows, n)
+    banded = minhash_band_hashes_df(docs, text_col, id_col, num_perm, band_rows, n, hash_mode)
     # persist: both sides of the self-join share this subplan; without it the
     # signature UDF runs twice (MLlib's approxSimilarityJoin caches the same
     # way).  Rows are (id, band, hash) — tiny relative to the corpus.
@@ -412,12 +451,18 @@ def simhash32(text: Column) -> Column:
     return out
 
 
-def simhash32_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash32_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "md5",
+) -> DataFrame:
     """(id, sh) — same values as ``simhash32``, computed in one Arrow-batched
     UDF: Python tokenize + md5 (parity notes at ``_py_words``), then a numpy
     bit-vote fold, instead of an interpreted HOF word pipeline feeding 32
     interpreted aggregate passes.  Docs with no words hash to 0, matching
     the expression form's empty-array aggregate."""
+    fast = _check_hash_mode(hash_mode)
 
     @F.pandas_udf("long")
     def sh_udf(texts: pd.Series) -> pd.Series:
@@ -425,10 +470,7 @@ def simhash32_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         if m == 0:
             return pd.Series([], dtype=np.int64)
         # words keep duplicates: each occurrence votes, as in simhash32
-        hs_rows = [
-            np.fromiter((_md5_60(w) for w in _py_words(t)), dtype=np.int64)
-            for t in texts
-        ]
+        hs_rows = [_hash60_batch(_py_words(t), fast) for t in texts]
         lens = np.fromiter((len(r) for r in hs_rows), dtype=np.int64, count=m)
         sh = np.zeros(m, dtype=np.int64)
         nz = lens > 0
@@ -453,6 +495,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_bands: int = 4,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -466,7 +509,7 @@ def simhash_pairs(
     w = SIMHASH_BITS // n_bands
     # persist: the (id, simhash) relation feeds both sides of the band join
     # AND the post-dedup hash re-attach below
-    base = simhash32_df(docs, text_col, id_col).persist()
+    base = simhash32_df(docs, text_col, id_col, hash_mode).persist()
     bands = base.select(
         "id",
         F.posexplode(
