@@ -175,7 +175,8 @@ def run_pairs(n: int, rows: int, invocations: int = 3) -> tuple[dict, dict, list
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
-    lo, hi, effs = run_pairs(n, rows)
+    invocations = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    lo, hi, effs = run_pairs(n, rows, invocations)
 
     cpu_lo = min(lo["all_cpu"])
     cpu_hi = min(hi["all_cpu"])
