@@ -220,6 +220,40 @@ class TestSimilarity:
         )
         assert a == b
 
+    def test_lsh_topk_strategies_identical_degenerate_vectors(self, spark):
+        """Zero-norm (0/0 cosine -> NULL through the Arrow conversion) and
+        length-mismatched (NULL cosine) corpus vectors must appear with the
+        same NULL sims and identical ranks — after every finite sim — under
+        both strategies; the broadcast kernel must not prune them away."""
+        import math
+
+        from wordspell_spark.operators.similarity import lsh_topk
+
+        rng = np.random.default_rng(3)
+        rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(20)]
+        rows.append((20, [0.0] * 16))  # zero norm -> NaN cosine
+        rows.append((21, [1.0] * 8))  # length mismatch vs 16-dim queries -> NULL
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
+
+        def norm(rs):
+            return sorted(
+                (r["query_id"], r["neighbor_id"],
+                 "nan" if r["cos_sim"] is not None and math.isnan(r["cos_sim"]) else r["cos_sim"],
+                 r["rank"])
+                for r in rs
+            )
+
+        a = norm(lsh_topk(emb, q, k=21).collect())
+        b = norm(lsh_topk(emb, q, k=21, max_broadcast_queries=0).collect())
+        assert a == b
+        # both degenerate vectors are present for query 0, with NULL sims,
+        # ranked after every finite-sim neighbor (NULL sorts last in desc)
+        degen = {n: (s, rk) for qid, n, s, rk in a if qid == 0 and n in (20, 21)}
+        max_finite_rank = max(rk for qid, n, s, rk in a if qid == 0 and s not in (None, "nan"))
+        assert set(degen) == {20, 21}
+        assert all(s is None and rk > max_finite_rank for s, rk in degen.values())
+
     def test_ivf_recall_vs_brute_force(self, emb_df):
         from wordspell_spark.operators.similarity import brute_force_topk, ivf_topk
 

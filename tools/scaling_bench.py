@@ -55,10 +55,13 @@ _JOB = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 
-def busy_jiffies():
-    parts = open("/proc/stat").readline().split()
-    vals = list(map(int, parts[1:]))
-    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+def cpu_jiffies():
+    # busy = user+nice+system+irq+softirq: OUR work only.  steal (stolen by
+    # co-tenants) is reported separately — counting it as busy inflated the
+    # 4N-phase CPU in a noisy window (8 busy cores compete harder than 2,
+    # so a constant co-tenant load biases exactly the 4N side).
+    v = list(map(int, open("/proc/stat").readline().split()[1:9]))
+    return v[0] + v[1] + v[2] + v[5] + v[6], v[7]
 
 HZ = os.sysconf("SC_CLK_TCK")
 from pyspark.sql import SparkSession, functions as F
@@ -96,19 +99,22 @@ def job():
     return build_sketches_multi(seq, specs(), ["source"]).collect()
 
 walls = []
-cpu_s = 0.0
+cpu_s = steal_s = 0.0
 if passes:
     job()  # warm-up: page cache + python workers
-    j0 = busy_jiffies()
+    j0, s0 = cpu_jiffies()
     for _ in range(passes):
         t0 = time.time()
         job()
         walls.append(time.time() - t0)
-    cpu_s = (busy_jiffies() - j0) / HZ
+    j1, s1 = cpu_jiffies()
+    cpu_s = (j1 - j0) / HZ
+    steal_s = (s1 - s0) / HZ
 wall = sorted(walls)[len(walls) // 2] if walls else 0.0
 print(json.dumps({{"nexec": nexec, "cores": {cores} * nexec, "wall_s": round(wall, 2),
                    "walls": [round(w, 2) for w in walls],
                    "cpu_s_passes": round(cpu_s, 2),
+                   "steal_s_passes": round(steal_s, 2),
                    "tokens": int(n_tokens),
                    "tokens_per_sec": round(5 * n_tokens / wall, 1) if wall else 0.0}}))
 spark.stop()
@@ -169,6 +175,8 @@ def run_pairs(n: int, rows: int, invocations: int = 3) -> tuple[dict, dict, list
     hi["all_walls"] = [p[1]["wall_s"] for p in pairs]
     lo["all_cpu"] = [p[0]["cpu_s_per_pass"] for p in pairs]
     hi["all_cpu"] = [p[1]["cpu_s_per_pass"] for p in pairs]
+    lo["all_steal"] = [p[0].get("steal_s_passes", 0.0) for p in pairs]
+    hi["all_steal"] = [p[1].get("steal_s_passes", 0.0) for p in pairs]
     return lo, hi, effs
 
 

@@ -469,8 +469,21 @@ def simhash32_df(
         m = len(texts)
         if m == 0:
             return pd.Series([], dtype=np.int64)
-        # words keep duplicates: each occurrence votes, as in simhash32
-        hs_rows = [_hash60_batch(_py_words(t), fast) for t in texts]
+        # words keep duplicates: each occurrence votes, as in simhash32 —
+        # but hash each DISTINCT word once per batch and gather: corpora
+        # are Zipfian, so the md5 loop shrinks by the batch's vocabulary
+        # ratio (~10-30x) while every occurrence still votes identically
+        words_rows = [_py_words(t) for t in texts]
+        all_words = [w for r in words_rows for w in r]
+        if all_words:
+            codes, uniq = pd.factorize(np.asarray(all_words, dtype=object))
+            flat_h = _hash60_batch(list(uniq), fast)[codes]
+        else:
+            flat_h = np.empty(0, dtype=np.int64)
+        hs_rows, pos = [], 0
+        for r in words_rows:
+            hs_rows.append(flat_h[pos : pos + len(r)])
+            pos += len(r)
         lens = np.fromiter((len(r) for r in hs_rows), dtype=np.int64, count=m)
         sh = np.zeros(m, dtype=np.int64)
         nz = lens > 0

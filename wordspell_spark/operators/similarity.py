@@ -367,7 +367,12 @@ def _lsh_topk_broadcast(
                     fin = np.isfinite(vals)
                     if fin.sum() > k:
                         kth = np.partition(vals[fin], -k)[-k]
-                        cand = cand[vals >= kth - 3e-6]
+                        # non-finite selection scores (zero-norm vectors:
+                        # 0/0 -> NaN here, NULL after the Arrow object-series
+                        # conversion) must survive the prune — the banded
+                        # strategy emits those pairs as NULL-sim rows, so
+                        # dropping them here would be a membership divergence
+                        cand = cand[(vals >= kth - 3e-6) | ~np.isfinite(vals)]
                     if len(cand):
                         # exact rescore, sequential accumulation (parity)
                         A = np.stack([q_vecs[q]] * len(cand))
