@@ -171,7 +171,14 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         build_sketches(seq, SketchSpec("hll", {"p": 12}), None, "tokens").collect()
 
     run("q_hll_global_merge", merge_only)
-    seq.unpersist(blocking=False)  # done with the sequences table
+    # done with the sequences table — release it SYNCHRONOUSLY and collect
+    # the heap before the text phase: ~GBs of cached token arrays left to a
+    # lazy async unpersist keep the old-gen populated, and the GC they force
+    # during later queries showed up as 30-50 busy-CPU-seconds billed to
+    # whichever query ran next (q_correct_queries 1.0s isolated vs 4.2s
+    # mid-bench on the same quiet host)
+    seq.unpersist(blocking=True)
+    spark.sparkContext._jvm.System.gc()
 
     # repartition: the single small parquet file would otherwise pin all the
     # heavy per-row expression work (minhash/simhash/decode) onto 1-2 tasks
@@ -212,9 +219,10 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     run("q_exact_dedup", lambda: D.exact_dedup(docs).count())
     # release the text-path caches before the embedding phase: accumulated
     # storage + old shuffle blocks otherwise tax the late queries with GC
-    qdf.unpersist(blocking=False)
-    idx.unpersist(blocking=False)
-    docs.unpersist(blocking=False)
+    qdf.unpersist(blocking=True)
+    idx.unpersist(blocking=True)
+    docs.unpersist(blocking=True)
+    spark.sparkContext._jvm.System.gc()
 
     # partition by DATA size, not core count: the embeddings table is tiny
     # (2k rows at sf0.1) and 32-way stages are pure task overhead — measured
