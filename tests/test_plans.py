@@ -136,3 +136,20 @@ def test_ngram_guard_survives_column_pruning(spark, docs):
     # the in-plan block-size assert (compiled to if(cond, null, raise_error))
     # must not be pruned away
     assert "raise_error" in plan, plan
+
+
+def test_simhash_pairs_filters_before_distinct(spark, docs):
+    """The exact bit_count(xor) Hamming filter must run in the band-join
+    stage, BELOW the pair distinct — so the distinct dedups only true
+    near-pairs (<= n_bands copies each), never the full candidate blow-up —
+    and the plan must contain exactly the band self-join: the old
+    ids-only-distinct form re-joined signatures twice and cost ~2x the CPU."""
+    from wordspell_spark.operators.dedup import simhash_pairs
+
+    plan = _plan(simhash_pairs(docs))
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
+    # the tree prints root-first, so the filter sitting under the distinct's
+    # HashAggregate must appear after it
+    assert "bit_count" in plan, plan
+    assert plan.index("bit_count") > plan.index("HashAggregate"), plan
