@@ -118,7 +118,18 @@ def build_deletion_bloom(
         if seen:
             yield pd.DataFrame({"sketch": [bloom.serialize(state)]})
 
-    partials = index_df.select(word_col).mapInPandas(partial, schema=schema)
+    # partition by WORK GRAIN, not by the index's partition count: each task
+    # fills ~1M deletion hashes (~a second of numpy), so a small thresholded
+    # index collapses to one task instead of 32 near-empty mapInPandas
+    # invocations each allocating a full m-bit filter (measured 12 CPU-s ->
+    # ~4 at sf0.1), while a 10M-word index still fans out to thousands of
+    # tasks.  coalesce keeps this shuffle-free.
+    words = index_df.select(word_col)
+    cur = words.rdd.getNumPartitions()
+    n_parts = int(min(cur, max(1, n_estimate // 1_000_000)))
+    if n_parts < cur:
+        words = words.coalesce(n_parts)
+    partials = words.mapInPandas(partial, schema=schema)
     spec_merge = lambda payloads: _or_merge(payloads)
     return tree_merge_payloads(partials, spec_merge)
 
