@@ -254,6 +254,78 @@ class TestSimilarity:
         assert set(degen) == {20, 21}
         assert all(s is None and rk > max_finite_rank for s, rk in degen.values())
 
+    def test_lsh_topk_null_cap_keeps_smallest_neighbor_ids(self, spark):
+        """More than k length-mismatched (NULL-sim) candidates in one Arrow
+        chunk, fewer than k finite-sim neighbors overall: the broadcast
+        kernel's per-chunk NULL cap must retain the k SMALLEST neighbor ids
+        (the global window's NULL tie-break), not the first k in corpus-scan
+        order — the round-3 ADVICE divergence.  Corpus rows arrive in
+        DESCENDING id order so a scan-order cap picks exactly the wrong set."""
+        import math
+
+        from wordspell_spark.operators.similarity import (
+            _rows_and_signatures,
+            lsh_topk,
+            plane_matrix,
+        )
+
+        rng = np.random.default_rng(7)
+        P = plane_matrix(16, 16)
+
+        def bands(vec):
+            _, s = _rows_and_signatures([np.asarray(vec, dtype=np.float64)], P, 16)
+            return [(int(s[0]) >> (b * 2)) & 3 for b in range(8)]
+
+        qv = [float(x) for x in rng.standard_normal(16)]
+        qb = bands(qv)
+        while True:  # deterministic search: an 8-dim vector sharing >=1 band
+            cv = [float(x) for x in rng.standard_normal(8)]
+            if any(x == y for x, y in zip(bands(cv), qb)):
+                break
+        # 10 identical-signature NULL-sim candidates, ids 100..109, scanned
+        # in DESCENDING order; one finite candidate (scaled query: all bands
+        # match, cos_sim == 1) so ranks 2..k are filled by NULL rows
+        rows = [(i, cv) for i in range(109, 99, -1)]
+        rows.append((50, [2.0 * x for x in qv]))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1)
+        q = spark.createDataFrame([(0, qv)], "query_id long, embedding array<float>")
+
+        def norm(rs):
+            return sorted(
+                (r["query_id"], r["neighbor_id"],
+                 "nan" if r["cos_sim"] is not None and math.isnan(r["cos_sim"]) else r["cos_sim"],
+                 r["rank"])
+                for r in rs
+            )
+
+        a = norm(lsh_topk(emb, q, k=3, dim=16).collect())
+        b = norm(lsh_topk(emb, q, k=3, dim=16, max_broadcast_queries=0).collect())
+        assert a == b
+        null_ids = sorted(n for _, n, s, _ in a if s is None)
+        assert null_ids == [100, 101], f"NULL cap kept wrong ids: {null_ids}"
+
+    def test_lsh_topk_qid_type_from_queries(self, spark):
+        """String query ids over a long-id corpus: the broadcast kernel must
+        type __qid from the QUERIES schema (round-3 ADVICE low), matching
+        the banded fallback instead of miscasting to the corpus id type."""
+        rng = np.random.default_rng(11)
+        rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(30)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = spark.createDataFrame(
+            [(f"q{i}", rows[i][1]) for i in range(3)],
+            "query_id string, embedding array<float>",
+        )
+        from wordspell_spark.operators.similarity import lsh_topk
+
+        a = lsh_topk(emb, q, k=3, dim=16)
+        b = lsh_topk(emb, q, k=3, dim=16, max_broadcast_queries=0)
+        assert a.schema["query_id"].dataType == b.schema["query_id"].dataType
+        ra = sorted(tuple(r) for r in a.collect())
+        rb = sorted(tuple(r) for r in b.collect())
+        assert ra == rb and len(ra) == 9
+
     def test_ivf_recall_vs_brute_force(self, emb_df):
         from wordspell_spark.operators.similarity import brute_force_topk, ivf_topk
 

@@ -430,8 +430,13 @@ def resize_images(
                     resized = resize_png_pixels(px, nw, nh)
                     if resized.shape[2] in (1, 3):
                         out_bytes = make_png(nw, nh, resized[:, :, 0] if resized.shape[2] == 1 else resized)
-                    else:  # alpha channels: keep the luminance plane
-                        out_bytes = make_png(nw, nh, resized[:, :, 0])
+                    else:
+                        # alpha channels (gray+alpha, RGBA): emit the true
+                        # luminance plane (BT.601 for RGBA, the gray plane
+                        # for gray+alpha) and drop alpha — NOT channel 0,
+                        # which for RGBA would be the red channel
+                        lum = png_luminance(resized).round().astype(np.uint8)
+                        out_bytes = make_png(nw, nh, lum)
                 elif HAVE_PIL and decode_image_header(payload) is not None:
                     import io  # pragma: no cover — real-pixel path, PIL-gated
 

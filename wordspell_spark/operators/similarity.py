@@ -246,6 +246,7 @@ def lsh_topk(
     n_bands: int = 8,
     dim: int = 64,
     max_broadcast_queries: int = 2048,
+    strategy: str = "auto",
 ) -> DataFrame:
     """ANN top-k: candidates share ≥1 LSH band with the query, then exact
     cosine re-rank.
@@ -268,13 +269,38 @@ def lsh_topk(
     vs brute force at k=5 on the 64-dim fixtures (8/4 gave 0.70-0.84).
     Cosines accumulate left-to-right (cumsum trick) in both strategies, so
     values are bit-identical to the brute-force / DuckDB oracle.
+
+    **Eager evaluation caveat** (``strategy="auto"``, the default): sizing
+    the query side runs a Spark job (``take(max_broadcast_queries + 1)``)
+    at *call* time and — when the broadcast kernel is chosen — snapshots
+    the query rows on the driver as of that moment.  Callers constructing
+    plans ahead of execution, or over expensive / nondeterministic query
+    lineage, should pass ``strategy="banded"`` to keep the call purely
+    lazy (no job, no snapshot), or ``strategy="broadcast"`` to skip the
+    sizing probe and collect the query side unconditionally.
     """
     assert n_planes % n_bands == 0
-    head = queries.select(query_id_col, vec_col).take(max_broadcast_queries + 1)
-    if len(head) <= max_broadcast_queries:
-        return _lsh_topk_broadcast(
-            vectors, head, k, id_col, vec_col, query_id_col, n_planes, n_bands, dim
+    assert strategy in ("auto", "broadcast", "banded")
+    if strategy != "banded":
+        limit = max_broadcast_queries + 1 if strategy == "auto" else None
+        head = (
+            queries.select(query_id_col, vec_col).take(limit)
+            if limit is not None
+            else queries.select(query_id_col, vec_col).collect()
         )
+        if strategy == "broadcast" or len(head) <= max_broadcast_queries:
+            return _lsh_topk_broadcast(
+                vectors,
+                head,
+                k,
+                id_col,
+                vec_col,
+                query_id_col,
+                n_planes,
+                n_bands,
+                dim,
+                qid_type=_spark_type(queries, query_id_col),
+            )
     return _lsh_topk_banded_join(
         vectors, queries, k, id_col, vec_col, query_id_col, n_planes, n_bands, dim
     )
@@ -294,6 +320,7 @@ def _lsh_topk_broadcast(
     n_planes: int,
     n_bands: int,
     dim: int,
+    qid_type: str,
 ) -> DataFrame:
     """Single-pass corpus kernel for a driver-collected query set.
 
@@ -389,7 +416,13 @@ def _lsh_topk_broadcast(
                         out_q += [q_ids[q]] * len(zc)
                         out_n += list(nbr[zc])
                         out_s += [float("nan")] * len(zc)
-                    nullc = np.nonzero(null_pairs[q])[0][:k]  # NULL sorts last
+                    # NULL sims sort last with ties broken by neighbor_id ASC
+                    # in the global window; keep each chunk's k SMALLEST
+                    # neighbor ids (not the first k in corpus-scan order) so
+                    # the merge sees exactly the rows the banded strategy —
+                    # which keeps all NULL candidates — would rank first.
+                    nc_idx = np.nonzero(null_pairs[q])[0]
+                    nullc = nc_idx[np.argsort(nbr[nc_idx], kind="stable")][:k]
                     if len(nullc):
                         out_q += [q_ids[q]] * len(nullc)
                         out_n += list(nbr[nullc])
@@ -403,10 +436,8 @@ def _lsh_topk_broadcast(
                         }
                     )
 
-    # query ids ride through the kernel untyped; both contract and tests draw
-    # them from the corpus id column, so reuse its Spark type
     schema = (
-        f"__qid {_spark_type(vectors, id_col)}, "
+        f"__qid {qid_type}, "
         f"neighbor_id {_spark_type(vectors, id_col)}, __raw double"
     )
     scored = vectors.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
@@ -454,12 +485,14 @@ def _lsh_topk_banded_join(
     # band through the distinct; vectors are re-attached after dedup
     qb = F.broadcast(banded(queries, query_id_col))
     cb = banded(vectors.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
-    cand = (
-        qb.join(cb, ["band_idx", "band_bits"])
-        .filter(F.col(query_id_col) != F.col("neighbor_id"))
-        .select(query_id_col, "neighbor_id")
-        .distinct()
-    )
+    cand = qb.join(cb, ["band_idx", "band_bits"])
+    # self-pair drop: only meaningful (and only cast-safe under ANSI — e.g.
+    # string query ids over long corpus ids would throw on the implicit
+    # cast) when the two id types match; distinct types can never self-pair,
+    # matching the broadcast kernel's Python `!=` semantics
+    if queries.schema[query_id_col].dataType == vectors.schema[id_col].dataType:
+        cand = cand.filter(F.col(query_id_col) != F.col("neighbor_id"))
+    cand = cand.select(query_id_col, "neighbor_id").distinct()
     qv = F.broadcast(queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")))
     cv = vectors.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv"))
     scored = cand.join(qv, query_id_col).join(cv, "neighbor_id")

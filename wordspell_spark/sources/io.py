@@ -57,7 +57,10 @@ def jdbc_partition_predicates(
     index/builder.go:110-156 + repo/catalog/catalog_test.go:12-40).
 
     Faithful to the Spark algorithm: integer stride
-    ``upper/n - lower/n`` (floor division), first partition unbounded
+    ``upper/n - lower/n`` with Scala/Java **Long division** (truncation
+    toward zero, exact integer arithmetic — NOT float floor division,
+    which diverges from Spark for negative non-divisible bounds and
+    loses precision past 2**53), first partition unbounded
     below and last unbounded above — so the union is COMPLETE over the
     column's whole domain (rows outside [lower, upper) still land in the
     edge partitions, a Spark semantic the OFFSET/LIMIT loop lacks), and
@@ -69,9 +72,12 @@ def jdbc_partition_predicates(
     # Spark clamps the partition count when the range is narrower than the
     # requested parallelism (JDBCRelation.scala): at most one value/partition
     n = min(num_partitions, max(upper_bound - lower_bound, 1))
-    import math
 
-    stride = math.floor(upper_bound / n) - math.floor(lower_bound / n)
+    def trunc_div(a: int, d: int) -> int:  # Scala Long `/`: truncate toward 0
+        q = abs(a) // d
+        return q if a >= 0 else -q
+
+    stride = trunc_div(upper_bound, n) - trunc_div(lower_bound, n)
     out: list[str | None] = []
     current = lower_bound
     for i in range(n):
