@@ -57,6 +57,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     from wordspell_spark.sources.fixtures import sequences_path
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     extra: dict[str, float] = {}
     cpu_ctx: dict[str, str] = {}
 
@@ -75,24 +76,39 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         except (OSError, ValueError):  # pragma: no cover
             return 0, 0
 
-    # per-query sanity envelopes (≈3-4x the quiet-host steady state).  A wall
-    # above the envelope, or a window where co-tenants stole >30% of our CPU,
-    # triggers a re-measure (≤3 tries, every attempt disclosed in
-    # cpu_per_query).  Each fn rebuilds its DataFrame lineage from scratch, so
-    # a retry re-executes every stage — no shuffle-reuse shortcuts.  If the
-    # last try still exceeds the envelope it is reported as a perf warning.
+    # per-query sanity envelopes at ~2x the quiet-host per-query MINIMA
+    # (BASELINE.md round-3 table) — tight enough that a genuine 2x plan
+    # regression self-reports via perf_warnings instead of hiding inside a
+    # 3-4x noise envelope (the round-3 failure mode: four queries drifted
+    # 1.4-2x with no guard tripping).  A wall above the envelope, or a
+    # window where co-tenants stole >30% of our CPU, triggers a re-measure
+    # (≤3 tries, every attempt disclosed in cpu_per_query).  Each fn
+    # rebuilds its DataFrame lineage from scratch, so a retry re-executes
+    # every stage — no shuffle-reuse shortcuts.  If the best try still
+    # exceeds the envelope it is reported as a perf warning.
+    #
+    # Envelopes are calibrated at sf0.1 / 32 cpus (the driver-canonical
+    # config); other scale factors stretch them by the data ratio, floored
+    # at 0.5x because half the queries are fixed-overhead-bound below sf0.1.
+    try:
+        _sf_ratio = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")) / 0.1
+    except ValueError:
+        _sf_ratio = 1.0
+    _g = max(_sf_ratio, 0.5)
     guards = {
-        "q_sketch_build_5kinds": 8.0,
-        "q_hll_global_merge": 3.0,
-        "q_freq_index": 6.0,
-        "q_bloom_build": 4.0,
-        "q_correct_queries": 5.0,
-        "q_minhash_lsh_dedup": 10.0,
-        "q_simhash_dedup": 10.0,
-        "q_exact_dedup": 5.0,
-        "q_ann_lsh_topk": 10.0,
-        "q_pricing_summary": 6.0,
-        "q_events_sessions": 5.0,
+        "q_sketch_build_5kinds": 4.0 * _g,
+        "q_hll_global_merge": 1.8 * _g,
+        "q_freq_index": 1.2 * _g,
+        "q_bloom_build": 1.4 * _g,
+        "q_correct_queries": 2.0 * _g,
+        "q_minhash_lsh_dedup": 2.5 * _g,
+        "q_minhash_lsh_dedup_fast": 2.0 * _g,
+        "q_simhash_dedup": 5.0 * _g,
+        "q_simhash_dedup_fast": 2.5 * _g,
+        "q_exact_dedup": 1.4 * _g,
+        "q_ann_lsh_topk": 1.6 * _g,
+        "q_pricing_summary": 2.5 * _g,
+        "q_events_sessions": 1.8 * _g,
     }
 
     def run(name: str, fn, *, max_tries: int = 3):
@@ -114,8 +130,13 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         # so under additive co-tenant noise the minimum wall is the least
         # contaminated measurement of the same work.  (Reporting the last
         # try punished queries whose clean first run preceded a noise storm
-        # that then polluted every retry.)  All tries stay disclosed.
+        # that then polluted every retry.)  All tries stay disclosed, and
+        # the MEDIAN try is reported alongside (extra.queries_median) so
+        # round-over-round comparisons have a stable statistic that never
+        # mixes single-try and best-of-try numbers.
         dt, busy, steal = min(tries, key=lambda t: t[0])
+        walls = sorted(t[0] for t in tries)
+        medians[name] = round(walls[len(walls) // 2], 3)
         timings[name] = round(dt, 3)
         cpu_ctx[name] = f"busy={busy:.1f}s steal={steal:.1f}s" + (
             f" tries={[round(t[0], 2) for t in tries]}" if len(tries) > 1 else ""
@@ -156,9 +177,10 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     _wdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).repartition(8).cache()
     _wdocs.count()
     for _builder in (D.minhash_lsh_pairs, D.simhash_pairs):
-        _wdf = _builder(_wdocs)
-        _wdf.count()
-        D.release_caches(_wdf)
+        for _mode in ("md5", "fast"):  # each hash mode is its own closure
+            _wdf = _builder(_wdocs, hash_mode=_mode)
+            _wdf.count()
+            D.release_caches(_wdf)
     _widx = IB.build_frequency_index(_wdocs, "text", ["doc_id"], thresholds={"ru": 2, "en": 2})
     _wpay = build_deletion_bloom(_widx, fpr=0.01)
     correct_queries(
@@ -244,6 +266,99 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
 
     run("q_minhash_lsh_dedup", lambda: fresh_count(D.minhash_lsh_pairs))
     run("q_simhash_dedup", lambda: fresh_count(D.simhash_pairs))
+    # production hash path: hash_mode="fast" vectorizes the per-distinct-
+    # string md5 loop (the dominant CPU cost of the md5 parity mode — at
+    # 100x scale nobody should run md5; these entries prove the production
+    # path's headroom, not just its pytest parity).  Parity vs the md5 mode
+    # is checked UNTIMED right after the timed runs.  Exact pair-set
+    # equality is NOT an invariant across hash families:
+    #   - minhash: LSH candidacy is probabilistic in the family, so
+    #     borderline-similarity pairs can legitimately collide under one
+    #     family and not the other → assert near-total overlap (≥ 0.9).
+    #   - simhash: the fingerprint ITSELF is family-defined, and on this
+    #     vocabulary-correlated synthetic corpus the Hamming≤3 ball is
+    #     dominated by sub-threshold hash coincidences (measured: median
+    #     inter-doc Hamming 8-10 vs ~16 for independent bits), which are
+    #     pure family noise — so even TRUE near-dups legitimately straddle
+    #     the threshold (measured at sf0.01: 4 diverged pairs with 3-gram
+    #     Jaccard 0.95-0.98, each Hamming ≤3 under one family and exactly 4
+    #     under the other).  The kernel-correctness invariant is therefore:
+    #     every diverged true near-dup (Jaccard ≥ 0.5) must still be NEAR
+    #     under the family that missed it (Hamming ≤ 2×max_hamming, vs ~16
+    #     expected if a kernel were broken); asserted in-plan, overlap and
+    #     worst distances disclosed.
+    run("q_minhash_lsh_dedup_fast", lambda: fresh_count(lambda d: D.minhash_lsh_pairs(d, hash_mode="fast")))
+    run("q_simhash_dedup_fast", lambda: fresh_count(lambda d: D.simhash_pairs(d, hash_mode="fast")))
+
+    def parity_check(builder, verify_diff_not_neardup: bool) -> str:
+        pa = builder(docs).select("id_a", "id_b").withColumn("in_md5", F.lit(1))
+        pb = builder(docs, hash_mode="fast").select("id_a", "id_b").withColumn("in_fast", F.lit(1))
+        j = pa.join(pb, ["id_a", "id_b"], "full_outer").cache()
+        n_md5, n_fast, n_both = j.agg(
+            F.count("in_md5"), F.count("in_fast"), F.count(F.when(F.col("in_md5").isNotNull() & F.col("in_fast").isNotNull(), 1))
+        ).first()
+        n_union = n_md5 + n_fast - n_both
+        jac = n_both / max(n_union, 1)
+        note = f"overlap={jac:.4f} md5={n_md5} fast={n_fast}"
+        if verify_diff_not_neardup:
+            sh = docs.select(
+                F.col("doc_id"), D.shingles_of(F.col("text"), 3).alias("sh")
+            )
+            diff = j.filter(F.col("in_md5").isNull() | F.col("in_fast").isNull())
+            near = (
+                diff.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+                .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+                .withColumn(
+                    "true_jac",
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                    / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                )
+                .filter(F.col("true_jac") >= 0.5)
+                .select("id_a", "id_b", "true_jac")
+            )
+            # attach both families' fingerprints; the family that MISSED the
+            # pair must still place it within 2x the Hamming budget
+            for mode in ("md5", "fast"):
+                fp = D.simhash32_df(docs, hash_mode=mode)
+                near = (
+                    near.join(fp.select(F.col("id").alias("id_a"), F.col("sh").alias("fa")), "id_a")
+                    .join(fp.select(F.col("id").alias("id_b"), F.col("sh").alias("fb")), "id_b")
+                    .withColumn(f"ham_{mode}", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+                    .drop("fa", "fb")
+                )
+            stats = near.agg(
+                F.count(F.lit(1)), F.max(F.greatest("ham_md5", "ham_fast")), F.max("true_jac")
+            ).first()
+            n_near, worst_ham, worst_jac = stats[0], stats[1], stats[2]
+            note += (
+                f" diverged_true_neardups={n_near}"
+                f" worst_missing_family_hamming={worst_ham}"
+                f" worst_true_jaccard={None if worst_jac is None else round(worst_jac, 4)}"
+            )
+            if worst_ham is not None and worst_ham > 6:
+                raise AssertionError(
+                    f"hash_mode divergence is not a threshold-boundary effect: {note}"
+                )
+        elif jac < 0.9:
+            raise AssertionError(f"hash_mode parity broken: {note}")
+        j.unpersist(blocking=True)
+        D.release_caches(pa)
+        D.release_caches(pb)
+        return note
+
+    extra["hash_mode_pair_parity"] = (
+        f"minhash: {parity_check(D.minhash_lsh_pairs, False)}; "
+        f"simhash: {parity_check(D.simhash_pairs, True)}"
+    )
+
+    def _busy(name):
+        try:
+            return float(cpu_ctx[name].split("busy=")[1].split("s")[0])
+        except (KeyError, IndexError, ValueError):  # pragma: no cover
+            return float("nan")
+
+    extra["simhash_md5_vs_fast_busy_cpu"] = f"{_busy('q_simhash_dedup')}s vs {_busy('q_simhash_dedup_fast')}s"
+    extra["minhash_md5_vs_fast_busy_cpu"] = f"{_busy('q_minhash_lsh_dedup')}s vs {_busy('q_minhash_lsh_dedup_fast')}s"
     run("q_exact_dedup", lambda: D.exact_dedup(docs).count())
     # release the text-path caches before the embedding phase: accumulated
     # storage + old shuffle blocks otherwise tax the late queries with GC
@@ -268,10 +383,13 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     # this co-tenant host).  Every query is envelope-guarded since round 3 —
     # the r2 regression cluster (sketch_build/bloom_build/hll_merge) was
     # exactly the unguarded set; a warning here survived up to 3 re-measures.
-    warns = [f"{k}>{v}s (got {timings[k]})" for k, v in guards.items() if timings.get(k, 0) > v]
+    warns = [
+        f"{k}>{round(v, 2)}s (got {timings[k]})" for k, v in guards.items() if timings.get(k, 0) > v
+    ]
     if warns:
         extra["perf_warnings"] = "; ".join(warns)
     extra["cpu_per_query"] = cpu_ctx
+    extra["queries_median"] = medians
 
     return timings, extra
 
@@ -283,6 +401,39 @@ def main() -> None:
         except OSError:  # pragma: no cover
             return -1.0
 
+    def steal_fraction(window_s: float = 2.0) -> float:
+        """Fraction of this VM's CPU time stolen by co-tenants over a short
+        sample window (whole-VM /proc/stat; -1 if unreadable)."""
+        try:
+
+            def snap():
+                v = list(map(int, open("/proc/stat").readline().split()[1:9]))
+                return sum(v), v[7]
+
+            t0, s0 = snap()
+            time.sleep(window_s)
+            t1, s1 = snap()
+            return (s1 - s0) / max(t1 - t0, 1)
+        except (OSError, ValueError):  # pragma: no cover
+            return -1.0
+
+    # Quiet-window pre-flight: the canonical number should measure the
+    # engine, not the co-tenant's workload.  Defer the start (bounded) while
+    # the host shows co-tenant steal or residual load; disclose how long we
+    # waited and what we saw, so a reader can judge a noisy run that started
+    # anyway at the deadline.  Per round-3 experience the noise often
+    # ARRIVES mid-run regardless — per-query steal disclosure remains the
+    # ground truth; this gate just stops us from launching into a storm.
+    max_wait = float(os.environ.get("WORDSPELL_BENCH_QUIET_WAIT_S", "600"))
+    waited, probes = 0.0, []
+    while True:
+        ld, st = loadavg(), steal_fraction(2.0)
+        probes.append(f"load={ld:.2f} steal={st:.1%}")
+        if (ld < 1.0 and 0 <= st < 0.05) or waited >= max_wait:
+            break
+        time.sleep(8.0)
+        waited += 10.0
+
     load0 = loadavg()
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -292,6 +443,10 @@ def main() -> None:
     # engine or the machine
     extra["loadavg_start"] = load0
     extra["loadavg_end"] = loadavg()
+    extra["quiet_window_wait_s"] = round(waited, 1)
+    extra["quiet_window_probes"] = "; ".join(probes[-5:]) + (
+        f" ({len(probes)} probes)" if len(probes) > 5 else ""
+    )
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)
     print(
