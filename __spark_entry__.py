@@ -567,6 +567,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(f.getItem(1), 2).cast("double").alias("std_lum"),
         )
 
+    def multimodal_pixel_stats_bmp(spark, sf):
+        """REAL BMP pixel decode (round-3 verdict item 3): same arithmetic
+        protocol as multimodal_pixel_stats, but the payloads are engine-built
+        uncompressed BMPs (operators/multimodal.make_bmp) mixing bottom-up
+        and top-down row orders — recovered through decode_bmp_pixels (pure
+        struct+numpy, no codec).  Pixels are gray replicated to BGR, so the
+        BT.601 luminance equals the gray value and the oracle predicts
+        mean/std exactly; stripes use 10/250 (not 0/255) to keep the
+        rounded mean off the .5 boundary the 3-channel float path would
+        straddle.  The format column proves container detection."""
+        import numpy as np
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+
+        @F.pandas_udf("binary")
+        def bmp_udf(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+            out = []
+            for d, c in zip(doc_id, n_chars):
+                d = int(d)
+                h, w = int(c) % 16 + 2, (d % 16 + 1) * 2  # even width
+                if d % 2:
+                    px = np.full((h, w), 10, dtype=np.uint8)
+                    px[:, ::2] = 250
+                else:
+                    px = np.full((h, w), d * 3 % 256, dtype=np.uint8)
+                out.append(MM.make_bmp(px, top_down=(d % 3 == 0)))
+            return pd.Series(out)
+
+        payloads = docs.select("doc_id", bmp_udf("doc_id", "n_chars").alias("payload"))
+        meta = MM.decode_metadata(payloads)
+        f = F.col("features")
+        return meta.select(
+            "doc_id",
+            F.round(f.getItem(0) * 255, 0).cast("int").alias("mean_px"),
+            # widen float32 → double BEFORE rounding: round(float32) keeps
+            # the float32 mantissa (0.47f = 0.46999999..d) and hash-misses
+            F.round(f.getItem(1).cast("double"), 2).alias("std_lum"),
+            "format",
+        )
+
+    def multimodal_frame_stats(spark, sf):
+        """REAL multi-frame decode (round-3 verdict item 4): per doc, build
+        an animated GIF (operators/multimodal.make_gif — genuine LZW) with
+        doc_id%3+2 frames, frame t filled with (doc_id*7+t*31)%256; sample
+        3 frames uniformly (sample_frames → stdlib LZW decode + per-frame
+        PNG re-encode) and recover each frame's mean pixel through the PNG
+        pixel path.  The oracle predicts (frame_idx, mean_px) arithmetically
+        — including WHICH source frames uniform sampling picks (t=[0,2,3]
+        for 4-frame docs) — so only an engine that truly decodes every
+        frame of the container can match."""
+        import numpy as np
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+
+        @F.pandas_udf("binary")
+        def gif_udf(doc_id: pd.Series) -> pd.Series:
+            out = []
+            for d in doc_id:
+                d = int(d)
+                n_fr, h, w = d % 3 + 2, d % 5 + 3, d % 4 + 4
+                out.append(
+                    MM.make_gif(
+                        [
+                            np.full((h, w), (d * 7 + t * 31) % 256, dtype=np.uint8)
+                            for t in range(n_fr)
+                        ]
+                    )
+                )
+            return pd.Series(out)
+
+        payloads = docs.select("doc_id", gif_udf("doc_id").alias("payload"))
+        frames = MM.sample_frames(payloads, n_frames=3)
+
+        @F.pandas_udf("int")
+        def mean_udf(frame: pd.Series) -> pd.Series:
+            return pd.Series(
+                [int(round(float(MM.pixel_features(bytes(b))[0]) * 255)) for b in frame],
+                dtype="int32",
+            )
+
+        return frames.select("doc_id", "frame_idx", mean_udf("frame").alias("mean_px"))
+
     # ---------------- relational core (TPC-H-ish) ----------------
 
     def pricing_summary(spark, sf):
@@ -739,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": multimodal_metadata,
         "multimodal_real_decode": multimodal_real_decode,
         "multimodal_pixel_stats": multimodal_pixel_stats,
+        "multimodal_pixel_stats_bmp": multimodal_pixel_stats_bmp,
+        "multimodal_frame_stats": multimodal_frame_stats,
         "pricing_summary": pricing_summary,
         "top_customers": top_customers,
         "events_sessions": events_sessions,
@@ -896,6 +980,26 @@ select doc_id,
        cast(case when doc_id % 2 = 1 then 128 else doc_id * 3 % 256 end as int) as mean_px,
        cast(case when doc_id % 2 = 1 then 0.5 else 0.0 end as double) as std_lum
 from documents where doc_id < 100
+""",
+        "multimodal_pixel_stats_bmp": """
+select doc_id,
+       cast(case when doc_id % 2 = 1 then 130 else doc_id * 3 % 256 end as int) as mean_px,
+       cast(case when doc_id % 2 = 1 then 0.47 else 0.0 end as double) as std_lum,
+       'bmp' as format
+from documents where doc_id < 100
+""",
+        "multimodal_frame_stats": """
+select d.doc_id, cast(u.fi as int) as frame_idx,
+       cast((d.doc_id * 7 + u.t * 31) % 256 as int) as mean_px
+from (
+  select doc_id,
+         case cast(doc_id % 3 as int)
+           when 0 then [{'fi': 0, 't': 0}, {'fi': 1, 't': 1}]
+           when 1 then [{'fi': 0, 't': 0}, {'fi': 1, 't': 1}, {'fi': 2, 't': 2}]
+           else [{'fi': 0, 't': 0}, {'fi': 1, 't': 2}, {'fi': 2, 't': 3}]
+         end as samples
+  from documents where doc_id < 60
+) d, unnest(d.samples) as t(u)
 """,
         "multimodal_metadata": """
 select doc_id,
