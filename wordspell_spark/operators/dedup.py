@@ -135,6 +135,53 @@ def _check_hash_mode(hash_mode: str) -> bool:
     return hash_mode == "fast"
 
 
+def _batch_minhash_sigs(pdf: pd.DataFrame, masks: np.ndarray, n: int, fast: bool):
+    """(ids, sig_matrix) for one Arrow batch of (__id, __text) rows.
+
+    Every distinct shingle in the BATCH is hashed exactly once: cross-doc
+    ``pd.factorize`` dedup (near-dup-rich corpora share most shingles)
+    feeding ONE ``_hash60_batch`` call — per-doc hash calls were the
+    dominant kernel cost, both as md5-loop interpreter round trips and as
+    ``pd.util.hash_array`` per-call overhead (~0.1 ms/call, 15x the work
+    itself on 8-string batches).  The per-doc min over (h ^ mask) then runs
+    as segmented ``np.minimum.reduceat`` over doc-slice boundaries, chunked
+    so the (shingles x num_perm) xor matrix stays ~64 MB.
+
+    Values are bit-identical to the per-doc form (min is order-independent,
+    the hash is per-string) — pinned by the existing parity suites.
+    """
+    ids: list = []
+    sh_lists: list[list[str]] = []
+    for doc_id, text in zip(pdf["__id"], pdf["__text"]):
+        w = _py_words(text)
+        if len(w) < n:
+            continue
+        ids.append(doc_id)
+        sh_lists.append(list({" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}))
+    num_perm = masks.size
+    if not ids:
+        return ids, np.empty((0, num_perm), dtype=np.int64)
+    all_sh = [s for sh in sh_lists for s in sh]
+    codes, uniq = pd.factorize(np.asarray(all_sh, dtype=object))
+    flat_h = _hash60_batch(list(uniq), fast)[codes]
+    lens = np.fromiter((len(sh) for sh in sh_lists), dtype=np.int64, count=len(ids))
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    sigs = np.empty((len(ids), num_perm), dtype=np.int64)
+    budget = max(8_000_000 // max(num_perm, 1), 1)  # xor-matrix rows per chunk
+    d0 = 0
+    while d0 < len(ids):
+        d1, tot = d0, 0
+        while d1 < len(ids) and (tot == 0 or tot + lens[d1] <= budget):
+            tot += int(lens[d1])
+            d1 += 1
+        offs = (cum[d0:d1] - cum[d0]).astype(np.int64)
+        sigs[d0:d1] = np.minimum.reduceat(
+            flat_h[cum[d0] : cum[d1], None] ^ masks[None, :], offs, axis=0
+        )
+        d0 = d1
+    return ids, sigs
+
+
 # -------------------------------------------------------- cache ownership
 #
 # The pair generators persist shared subplans (both sides of an LSH
@@ -306,17 +353,11 @@ def minhash_signatures_df(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, text in zip(pdf["__id"], pdf["__text"]):
-                w = _py_words(text)
-                if len(w) < n:
-                    continue
-                sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
-                hs = _hash60_batch(sh, fast)
-                # min over (h ^ mask) per seed; < 2^60 never touches the sign bit
-                ids.append(doc_id)
-                sigs.append((hs[:, None] ^ masks[None, :]).min(axis=0).tolist())
-            yield pd.DataFrame({"id": ids, "sig": pd.Series(sigs, dtype=object)})
+            # min over (h ^ mask) per seed; < 2^60 never touches the sign bit
+            ids, sigs = _batch_minhash_sigs(pdf, masks, n, fast)
+            yield pd.DataFrame(
+                {"id": ids, "sig": pd.Series([r.tolist() for r in sigs], dtype=object)}
+            )
 
     inp = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
     id_type = inp.schema["__id"].dataType.simpleString()
@@ -351,32 +392,21 @@ def minhash_band_hashes_df(
     from typing import Iterator
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        band_idx = np.arange(n_bands, dtype=np.int32)
         for pdf in batches:
-            ids, bidx, bh = [], [], []
-            for doc_id, text in zip(pdf["__id"], pdf["__text"]):
-                w = _py_words(text)
-                if len(w) < n:
-                    continue
-                sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
-                hs = _hash60_batch(sh, fast)
-                sig = (hs[:, None] ^ masks[None, :]).min(axis=0)
-                ids.extend([doc_id] * n_bands)
-                bidx.append(band_idx)
-                bh.append(
-                    _hash60_batch(
-                        [
-                            ",".join(str(v) for v in sig[b * band_rows : (b + 1) * band_rows])
-                            for b in range(n_bands)
-                        ],
-                        fast,
-                    )
-                )
+            ids, sigs = _batch_minhash_sigs(pdf, masks, n, fast)
+            # band strings for the WHOLE batch feed one hash call — the
+            # per-doc 8-string calls were pure per-call overhead (see
+            # _batch_minhash_sigs)
+            strs = [
+                ",".join(str(v) for v in sigs[d, b * band_rows : (b + 1) * band_rows])
+                for d in range(len(ids))
+                for b in range(n_bands)
+            ]
             yield pd.DataFrame(
                 {
-                    "id": ids,
-                    "band_idx": np.concatenate(bidx) if bidx else np.array([], dtype=np.int32),
-                    "band_hash": np.concatenate(bh) if bh else np.array([], dtype=np.int64),
+                    "id": [i for i in ids for _ in range(n_bands)],
+                    "band_idx": np.tile(np.arange(n_bands, dtype=np.int32), len(ids)),
+                    "band_hash": _hash60_batch(strs, fast),
                 }
             )
 
