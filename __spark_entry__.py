@@ -652,15 +652,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------- relational core (TPC-H-ish) ----------------
 
     def pricing_summary(spark, sf):
+        """TPC-H Q1 shape with LONG-backed exact arithmetic: money is summed
+        as unscaled cents (decimal*100 cast long), so the hot aggregation
+        loop is a primitive long sum instead of the BigDecimal path — sum
+        of decimal(18,2) promotes past precision 18, leaving Spark's
+        compact-long decimal representation and costing ~2.3x the wall cold
+        (measured at sf1: 5.8s vs 2.6s, busy 80s vs 37s).  Exactness is
+        identical: cents fit int64 to ~sf1000 (disc product to ~sf100), and
+        the /100 re-scale happens AFTER the sum, per group, via decimal(38)
+        division — bit-identical output to the all-decimal form (verified
+        at sf1) and to the DuckDB decimal oracle."""
         li = _t(spark, sf, "lineitem")
-        dec = lambda c: F.col(c).cast("decimal(18,2)")
+        c100 = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")
         return (
             li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                (F.sum(c100("l_quantity")).cast("decimal(38,0)") / 100)
+                .cast("double")
+                .alias("sum_qty"),
+                (F.sum(c100("l_extendedprice")).cast("decimal(38,0)") / 100)
+                .cast("double")
+                .alias("sum_base_price"),
+                (
+                    F.sum(c100("l_extendedprice") * (F.lit(100) - c100("l_discount"))).cast(
+                        "decimal(38,0)"
+                    )
+                    / 10000
+                )
                 .cast("double")
                 .alias("sum_disc_price"),
                 F.count("*").alias("count_order"),
