@@ -9,12 +9,14 @@ Decode is tiered (``_decode``):
 1. **Real container parsing** — ``decode_image_header`` reads the actual
    bytes of PNG / JPEG / GIF / BMP / WEBP headers (pure ``struct``, no
    image libraries needed) and returns true (width, height, format).
-   The PIXEL path is real for three containers (``decode_pixels``):
+   The PIXEL path is real for four containers (``decode_pixels``):
    PNG (``decode_png_pixels`` — stdlib zlib inflate + scanline unfilter,
    all 5 filters, every 8-bit color type), BMP (``decode_bmp_pixels`` —
-   uncompressed 8/24/32-bit, both row orders), and GIF
+   uncompressed 8/24/32-bit, both row orders), GIF
    (``decode_gif_frames`` — full stdlib LZW decode, multi-frame
-   compositing; feeds ``sample_frames``).  Pixels drive
+   compositing; feeds ``sample_frames``), and baseline JPEG
+   (``jpeg.decode_jpeg_pixels`` — pure-numpy Huffman entropy decode +
+   dequantize + IDCT, grayscale and 4:4:4 color).  Pixels drive
    ``pixel_features`` statistics and nearest-neighbor ``resize_images``
    re-encoded via ``make_png``.
 2. **PIL, feature-detected** — if Pillow is importable, unrecognized
@@ -22,8 +24,9 @@ Decode is tiered (``_decode``):
    operates on real pixels).
 3. **Deterministic fake** — synthetic payloads that are not images (e.g.
    the text-derived fixture corpus) get the clearly-marked md5-derived
-   stand-in, so plumbing stays testable in codec-less containers.
-   JPEG/WEBP pixel decode stays behind this tier without a codec.
+   stand-in, so plumbing stays testable in codec-less containers.  WEBP
+   and non-baseline JPEG (progressive / subsampled / 12-bit) pixel decode
+   stay behind this tier without a native codec.
 
 At 100 TB the rule is: never shuffle the binary column.  All derivations
 here are row-local (mapInPandas, no groupBy touches ``payload``); any
@@ -579,8 +582,9 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray] | None:
 
 def decode_pixels(payload: bytes) -> np.ndarray | None:
     """Generic REAL pixel decode: dispatch on container magic to the PNG,
-    BMP, or GIF stdlib decoder (GIF renders the first frame).  Returns
-    (H, W, C) uint8 or None when no real decoder applies."""
+    BMP, GIF, or baseline-JPEG pure-python decoder (GIF renders the first
+    frame).  Returns (H, W, C) uint8 or None when no real decoder applies
+    (WEBP, progressive/subsampled JPEG)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
     if payload[:2] == b"BM":
@@ -588,6 +592,10 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         frames = decode_gif_frames(payload)
         return frames[0] if frames else None
+    if payload[:2] == b"\xff\xd8":
+        from wordspell_spark.operators.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
     return None
 
 
@@ -601,7 +609,8 @@ def png_luminance(px: np.ndarray) -> np.ndarray:
 
 
 def pixel_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray | None:
-    """REAL pixel features for PNG / BMP / GIF payloads (None otherwise).
+    """REAL pixel features for PNG / BMP / GIF / baseline-JPEG payloads
+    (None otherwise).
 
     8 deterministic luminance statistics — mean, std, quartiles, mean
     |horizontal|/|vertical| gradient, log-aspect — the classic cheap
@@ -648,10 +657,10 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def _features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Tiered features: REAL pixel statistics for PNG / BMP / GIF payloads
-    (``pixel_features`` — stdlib decode, no image library), md5 stand-in
-    for the rest (JPEG/WEBP entropy coding needs a codec this container
-    doesn't ship)."""
+    """Tiered features: REAL pixel statistics for PNG / BMP / GIF /
+    baseline-JPEG payloads (``pixel_features`` — stdlib + pure-numpy
+    decode, no image library), md5 stand-in for the rest (WEBP and the
+    exotic JPEG modes need a native codec this container doesn't ship)."""
     real = pixel_features(payload, dim)
     return real if real is not None else _fake_features(payload, dim)
 
@@ -703,9 +712,10 @@ def resize_images(
 ) -> DataFrame:
     """Aspect-preserving resize into the target box.
 
-    Tiered like ``_decode``: PNG / BMP / GIF payloads get REAL pixel
-    resampling (stdlib ``decode_pixels`` → nearest-neighbor → re-encoded
-    as PNG, the engine's canonical resized container); other real images
+    Tiered like ``_decode``: PNG / BMP / GIF / baseline-JPEG payloads get
+    REAL pixel resampling (``decode_pixels`` → nearest-neighbor →
+    re-encoded as PNG, the engine's canonical resized container); other
+    real images
     go through PIL when importable; synthetic payloads keep the
     clearly-marked md5 stand-in.  The Spark contract — row-local
     mapInPandas, binary in/binary out, no shuffle — is identical on every
