@@ -359,3 +359,74 @@ class TestSerdeRobustness:
         )
         with _pytest.raises(serde.SketchFormatError):
             SketchSpec("bloom", {"n_estimate": 100}).deserialize(hll_payload)
+
+
+class TestSharedHashFastPath:
+    """The multi-kind harness hashes each batch once and feeds every
+    hash-keyed kind (bloom / hll / cms) the same (distinct hashes, counts)
+    aggregate via ``update_unique_hashes``.  That is only sound if the fast
+    path is BIT-IDENTICAL to the per-value ``update`` — pin it per kind,
+    over Zipfian (mostly-repeat), near-unique, and empty batches."""
+
+    @staticmethod
+    def _batches():
+        import numpy as np
+
+        rng = np.random.default_rng(41)
+        vocab = np.array([f"tok{i}" for i in range(5000)], dtype=object)
+        zipf = vocab[np.clip(rng.zipf(1.3, 20000) - 1, 0, len(vocab) - 1)]
+        uniq = np.array([f"u{i}" for i in range(7000)], dtype=object)
+        return [zipf, uniq, np.array([], dtype=object), vocab[:17]]
+
+    @pytest.mark.parametrize(
+        "kind,params",
+        [
+            ("bloom", {"n_estimate": 20000}),
+            ("hll", {"p": 12}),
+            ("cms", {"width": 2048, "depth": 5}),
+        ],
+    )
+    def test_bit_identical_to_per_value_update(self, kind, params):
+        import pandas as pd
+
+        from wordspell_spark.sketches.hashing import hash64
+
+        spec = SketchSpec(kind, params)
+        slow, fast = spec.create(), spec.create()
+        fast_update = getattr(spec.module, "update_unique_hashes")
+        for batch in self._batches():
+            spec.update(slow, batch)
+            codes, uh = pd.factorize(hash64(batch))
+            fast_update(fast, np.asarray(uh, dtype=np.uint64), np.bincount(codes))
+        assert spec.serialize(slow) == spec.serialize(fast)
+
+    def test_harness_multi_build_uses_fast_path(self, spark):
+        """End-to-end: the Spark multi-kind build over a token column yields
+        payloads byte-identical to the single-kind builds (same data, same
+        partitioning), so the shared-hash path cannot drift silently."""
+        from pyspark.sql import functions as F
+
+        from wordspell_spark.harness import build_sketches, build_sketches_multi
+
+        df = (
+            spark.range(4000)
+            .withColumn("source", (F.col("id") % 2).cast("string"))
+            .withColumn("tok", F.concat(F.lit("w"), (F.col("id") % 97).cast("string")))
+            .coalesce(4)
+        )
+        specs = {
+            "bloom": (SketchSpec("bloom", {"n_estimate": 4000}), "tok"),
+            "hll": (SketchSpec("hll", {"p": 12}), "tok"),
+            "cms": (SketchSpec("cms", {"width": 1024, "depth": 4}), "tok"),
+        }
+        multi = {
+            (r["source"], r["kind"]): bytes(r["sketch"])
+            for r in build_sketches_multi(df, specs, ["source"]).collect()
+        }
+        for kind, (spec, vc) in specs.items():
+            single = {
+                r["source"]: bytes(r["sketch"])
+                for r in build_sketches(df, spec, ["source"], vc).collect()
+            }
+            for src, payload in single.items():
+                assert multi[(src, kind)] == payload, (kind, src)

@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 )
 
 from .sketches import SketchSpec
+from .sketches.hashing import hash64
 
 _GLOBAL_KEY = "__all__"
 
@@ -186,9 +187,30 @@ def build_sketches_multi(
                         name: [spec.create(), 0, 0] for name, (spec, _) in spec_items
                     }
                 flats = {vc: _flatten_values(sub[vc]) for vc in value_cols}
+                # shared-hash fast path: every hash-keyed kind (bloom / hll /
+                # cms) derives all its indices from the same h1 = hash64(v),
+                # so hash each value column ONCE per batch and aggregate to
+                # (distinct hashes, counts) — the kernels then scatter over
+                # the distinct set only.  Bit-identical payloads (idempotent
+                # kinds ignore counts; cms adds them as weights); on Zipfian
+                # token batches this cuts the dominant hash + sort cost from
+                # once-per-kind to once-per-column.  pd.factorize (hash
+                # table) beats np.unique (sort) ~3x here, and no kernel
+                # depends on the distinct order.
+                hashed: dict[str, tuple[np.ndarray, np.ndarray]] = {}
                 for name, (spec, vc) in spec_items:
                     st = ent[name]
-                    spec.update(st[0], flats[vc])
+                    fast = getattr(spec.module, "update_unique_hashes", None)
+                    if fast is not None:
+                        if vc not in hashed:
+                            codes, uniq = pd.factorize(hash64(flats[vc]))
+                            hashed[vc] = (
+                                np.asarray(uniq, dtype=np.uint64),
+                                np.bincount(codes),
+                            )
+                        fast(st[0], *hashed[vc])
+                    else:
+                        spec.update(st[0], flats[vc])
                     st[1] += len(sub)
                     st[2] += len(flats[vc])
         if not states:

@@ -121,6 +121,14 @@ def update_hashes(state: BloomState, h1: np.ndarray, *, dedupe: bool = True) -> 
     return state
 
 
+def update_unique_hashes(state: BloomState, uh: np.ndarray, counts: np.ndarray | None = None) -> BloomState:
+    """Shared-hash fast path (multi-kind harness): ``uh`` are DISTINCT
+    ``hash64`` keys of the batch.  ``counts`` is accepted for signature
+    uniformity across kinds and ignored — bit-setting is idempotent.
+    Bit-identical to ``update(values)``: every probe index derives from h1."""
+    return update_hashes(state, uh, dedupe=False)
+
+
 def update_u32_rows(state: BloomState, mat: np.ndarray, valid_len: np.ndarray | None = None) -> BloomState:
     """Insert each row of a (n, L) uint32 matrix as one set element.
 

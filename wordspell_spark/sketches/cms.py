@@ -21,7 +21,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from . import serde
-from .hashing import double_hash
+from .hashing import double_hash, splitmix64
 
 _U64 = np.uint64
 _PARAMS = struct.Struct("<II")  # width, depth
@@ -77,6 +77,28 @@ def update(state: CmsState, values, weights=None) -> CmsState:
         else:
             state.counts[d] += np.bincount(idx, weights=w, minlength=state.width).astype(np.int64)
     state.total += n if w is None else int(w.sum())
+    return state
+
+
+def update_unique_hashes(state: CmsState, uh: np.ndarray, counts: np.ndarray) -> CmsState:
+    """Shared-hash fast path (multi-kind harness): ``uh`` are the batch's
+    DISTINCT ``hash64`` keys, ``counts`` their multiplicities.
+
+    Table-identical to ``update(values)``: every bucket index derives from
+    (h1, h2 = splitmix64(h1)|1), and the weighted bincount adds exactly the
+    per-key occurrence totals the unweighted path accumulates one by one.
+    The bincounts also run over the distinct set only — on Zipfian token
+    batches that is 4-15x fewer index rows per depth."""
+    n = uh.size
+    if n == 0:
+        return state
+    h1 = uh.astype(_U64, copy=False)
+    h2 = splitmix64(h1) | _U64(1)
+    w = np.asarray(counts, dtype=np.int64)
+    for d in range(state.depth):
+        idx = _row_idx(h1, h2, d, state.width)
+        state.counts[d] += np.bincount(idx, weights=w, minlength=state.width).astype(np.int64)
+    state.total += int(w.sum())
     return state
 
 

@@ -76,6 +76,13 @@ def update(state: HllState, values) -> HllState:
     return update_hashes(state, hash64(vals))
 
 
+def update_unique_hashes(state: HllState, uh: np.ndarray, counts: np.ndarray | None = None) -> HllState:
+    """Shared-hash fast path (multi-kind harness): ``uh`` are DISTINCT
+    ``hash64`` keys.  ``counts`` is ignored — register max is idempotent.
+    Register-identical to ``update(values)``: ranks derive only from h1."""
+    return update_hashes(state, uh, dedupe=False)
+
+
 def update_hashes(state: HllState, h: np.ndarray, *, dedupe: bool = True) -> HllState:
     if h.size == 0:
         return state
