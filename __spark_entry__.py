@@ -337,6 +337,7 @@ select query_id, neighbor_id, cos_sim, rank from ranked where rank <= 5
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from wordspell_spark.functions import text as T
     from wordspell_spark.harness import build_sketches
+    from wordspell_spark.operators import audio as AU
     from wordspell_spark.operators import dedup as D
     from wordspell_spark.operators import index_build as IB
     from wordspell_spark.operators import jpeg as JP
@@ -695,6 +696,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return frames.select("doc_id", "frame_idx", mean_udf("frame").alias("mean_px"))
 
+    def multimodal_audio_stats(spark, sf):
+        """REAL audio (WAV/PCM) decode path — the audio modality's sibling of
+        multimodal_pixel_stats.  Per doc, build a PCM WAV
+        (operators/audio.make_wav): even ids a constant-DC signal at
+        v=((id*5)%100-50)*256, odd ids an alternating ±A square wave at
+        A=((id*7)%100+10)*256, mono or stereo by id%3, n=(n_chars%16+2)*8
+        frames at 8 kHz.  Recover duration/RMS/DC-mean/zero-crossing-rate
+        through the full RIFF chunk walk + PCM decode
+        (audio.decode_wav → wav_features).  The oracle predicts every
+        statistic arithmetically (RMS of a square wave is its amplitude,
+        mean of a DC signal is its value, ZCR of an alternation is 1) —
+        integer-recovered via the same *32768 trick as the image oracles,
+        so md5 fakes cannot match."""
+        import numpy as np
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+
+        @F.pandas_udf("binary")
+        def wav_udf(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+            out = []
+            for d, c in zip(doc_id, n_chars):
+                d, c = int(d), int(c)
+                n = (c % 16 + 2) * 8  # always even -> square-wave mean is 0
+                if d % 2:
+                    amp = ((d * 7) % 100 + 10) * 256
+                    mono = np.empty(n, dtype=np.int16)
+                    mono[::2], mono[1::2] = amp, -amp
+                else:
+                    mono = np.full(n, ((d * 5) % 100 - 50) * 256, dtype=np.int16)
+                ch = 2 if d % 3 == 0 else 1
+                s = np.repeat(mono[:, None], ch, axis=1) if ch == 2 else mono
+                out.append(AU.make_wav(s, rate=8000, bits=16))
+            return pd.Series(out)
+
+        payloads = docs.select("doc_id", wav_udf("doc_id", "n_chars").alias("payload"))
+        meta = AU.audio_metadata(payloads)
+        f = F.col("features")
+        dbl = lambda i: f.getItem(i).cast("double")  # widen BEFORE arithmetic
+        return meta.select(
+            "doc_id",
+            "sample_rate",
+            "channels",
+            "n_frames",
+            F.col("format").alias("fmt"),
+            F.round(dbl(0) * 1000, 0).cast("int").alias("dur_ms"),
+            F.round(dbl(1) * 32768, 0).cast("int").alias("rms_i"),
+            F.round(dbl(4) * 32768, 0).cast("int").alias("mean_i"),
+            F.round(dbl(3) * 10000, 0).cast("int").alias("zcr_e4"),
+        )
+
     # ---------------- relational core (TPC-H-ish) ----------------
 
     def pricing_summary(spark, sf):
@@ -889,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pixel_stats_bmp": multimodal_pixel_stats_bmp,
         "multimodal_pixel_stats_jpeg": multimodal_pixel_stats_jpeg,
         "multimodal_frame_stats": multimodal_frame_stats,
+        "multimodal_audio_stats": multimodal_audio_stats,
         "pricing_summary": pricing_summary,
         "top_customers": top_customers,
         "events_sessions": events_sessions,
@@ -1073,6 +1125,20 @@ from (
          end as samples
   from documents where doc_id < 60
 ) d, unnest(d.samples) as t(u)
+""",
+        "multimodal_audio_stats": """
+select doc_id,
+       cast(8000 as int) as sample_rate,
+       cast(case when doc_id % 3 = 0 then 2 else 1 end as int) as channels,
+       cast((n_chars % 16 + 2) * 8 as bigint) as n_frames,
+       'wav' as fmt,
+       cast(n_chars % 16 + 2 as int) as dur_ms,
+       cast(case when doc_id % 2 = 1 then ((doc_id * 7) % 100 + 10) * 256
+                 else abs(((doc_id * 5) % 100 - 50) * 256) end as int) as rms_i,
+       cast(case when doc_id % 2 = 1 then 0
+                 else ((doc_id * 5) % 100 - 50) * 256 end as int) as mean_i,
+       cast(case when doc_id % 2 = 1 then 10000 else 0 end as int) as zcr_e4
+from documents where doc_id < 100
 """,
         "multimodal_metadata": """
 select doc_id,
