@@ -696,6 +696,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return frames.select("doc_id", "frame_idx", mean_udf("frame").alias("mean_px"))
 
+    def multimodal_video_frame_stats(spark, sf):
+        """REAL end-to-end VIDEO path: per doc, build an AVI/MJPEG container
+        (operators/video.make_avi_mjpeg — RIFF hdrl/movi/idx1, every frame
+        an independent baseline JPEG from the pure-numpy codec) with
+        doc_id%3+2 flat 8x8-aligned frames, frame t filled with the even
+        value ((doc_id*7+t*31)%120)*2+8; sample 3 frames uniformly
+        (multimodal.sample_frames → RIFF movi walk + per-frame Huffman
+        entropy decode + PNG re-emit) and recover each frame's pixel value
+        through the PNG pixel path.  Flat tiles are DC-only so they survive
+        JPEG quantization bit-exactly (operators/jpeg.py docstring); the
+        oracle predicts (frame_idx, n_frames, mean_px) arithmetically —
+        including WHICH source frames uniform sampling picks — so only an
+        engine that truly entropy-decodes every movi chunk can match."""
+        import numpy as np
+
+        from wordspell_spark.operators import video as VV
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+
+        @F.pandas_udf("binary")
+        def avi_udf(doc_id: pd.Series) -> pd.Series:
+            out = []
+            for d in doc_id:
+                d = int(d)
+                n_fr, h, w = d % 3 + 2, (d % 3 + 1) * 8, (d % 4 + 1) * 8
+                out.append(
+                    VV.make_avi_mjpeg(
+                        [
+                            np.full((h, w), ((d * 7 + t * 31) % 120) * 2 + 8, np.uint8)
+                            for t in range(n_fr)
+                        ],
+                        fps=10,
+                    )
+                )
+            return pd.Series(out)
+
+        payloads = docs.select("doc_id", avi_udf("doc_id").alias("payload"))
+        frames = MM.sample_frames(payloads, n_frames=3)
+
+        @F.pandas_udf("int")
+        def mean_udf(frame: pd.Series) -> pd.Series:
+            return pd.Series(
+                [int(round(float(MM.pixel_features(bytes(b))[0]) * 255)) for b in frame],
+                dtype="int32",
+            )
+
+        n_frames_meta = VV.video_metadata(payloads).select("doc_id", "n_frames")
+        return (
+            frames.join(F.broadcast(n_frames_meta), "doc_id")
+            .select("doc_id", "frame_idx", "n_frames", mean_udf("frame").alias("mean_px"))
+        )
+
     def multimodal_audio_stats(spark, sf):
         """REAL audio (WAV/PCM) decode path — the audio modality's sibling of
         multimodal_pixel_stats.  Per doc, build a PCM WAV
@@ -940,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pixel_stats_bmp": multimodal_pixel_stats_bmp,
         "multimodal_pixel_stats_jpeg": multimodal_pixel_stats_jpeg,
         "multimodal_frame_stats": multimodal_frame_stats,
+        "multimodal_video_frame_stats": multimodal_video_frame_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
         "pricing_summary": pricing_summary,
         "top_customers": top_customers,
@@ -1116,6 +1169,20 @@ from documents where doc_id < 100
         "multimodal_frame_stats": """
 select d.doc_id, cast(u.fi as int) as frame_idx,
        cast((d.doc_id * 7 + u.t * 31) % 256 as int) as mean_px
+from (
+  select doc_id,
+         case cast(doc_id % 3 as int)
+           when 0 then [{'fi': 0, 't': 0}, {'fi': 1, 't': 1}]
+           when 1 then [{'fi': 0, 't': 0}, {'fi': 1, 't': 1}, {'fi': 2, 't': 2}]
+           else [{'fi': 0, 't': 0}, {'fi': 1, 't': 2}, {'fi': 2, 't': 3}]
+         end as samples
+  from documents where doc_id < 60
+) d, unnest(d.samples) as t(u)
+""",
+        "multimodal_video_frame_stats": """
+select d.doc_id, cast(u.fi as int) as frame_idx,
+       cast(d.doc_id % 3 + 2 as int) as n_frames,
+       cast(((d.doc_id * 7 + u.t * 31) % 120) * 2 + 8 as int) as mean_px
 from (
   select doc_id,
          case cast(doc_id % 3 as int)

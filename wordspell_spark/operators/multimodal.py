@@ -774,29 +774,38 @@ def sample_frames(
 ) -> DataFrame:
     """Uniform temporal frame sampling, 1 → ≤n_frames rows per payload.
 
-    REAL for animated GIF payloads: the stdlib LZW decoder
-    (``decode_gif_frames``) renders every frame onto the running canvas,
+    REAL for two multi-frame containers:
+
+    * animated GIF — the stdlib LZW decoder (``decode_gif_frames``)
+      renders every frame onto the running canvas;
+    * AVI/MJPEG video — ``video.decode_avi_frames`` walks the RIFF movi
+      list and entropy-decodes each frame with the pure-numpy baseline
+      JPEG codec (``operators/jpeg.py``).
+
     ``n_frames`` uniformly-spaced rendered frames are selected (all frames,
-    each once, when the animation is shorter), and each sampled frame is
+    each once, when the sequence is shorter), and each sampled frame is
     re-emitted as a standalone PNG — so downstream feature extraction
     consumes the same canonical container ``resize_images`` emits.
 
-    Other payloads (real videos need an mp4/vp9 codec this container
-    doesn't ship) keep the clearly-marked md5 stub frames.  The Spark
-    contract — row-local mapInPandas, binary in / exploded binary out, no
-    shuffle of payload bytes — is identical on both tiers."""
+    Other payloads (mp4/h264/vp9 need a real inter-frame codec) keep the
+    clearly-marked md5 stub frames.  The Spark contract — row-local
+    mapInPandas, binary in / exploded binary out, no shuffle of payload
+    bytes — is identical on all tiers."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .video import decode_avi_frames, is_avi
+
         for pdf in batches:
             if pdf.empty:
                 continue
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                frames = (
-                    decode_gif_frames(payload)
-                    if payload[:6] in (b"GIF87a", b"GIF89a")
-                    else None
-                )
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = decode_gif_frames(payload)
+                elif is_avi(bytes(payload)):
+                    frames = decode_avi_frames(bytes(payload))
+                else:
+                    frames = None
                 if frames is not None:
                     take = min(n_frames, len(frames))
                     picks = np.unique(

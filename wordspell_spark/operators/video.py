@@ -1,0 +1,329 @@
+"""Video column plumbing: REAL AVI/MJPEG container + frame decode.
+
+The video analog of ``operators/audio.py`` (the wordspell reference has no
+media path at all — this is LLM-training-pipeline extension surface).  Video
+rides through the engine as a ``binary`` column; container parsing and frame
+extraction are Arrow-batched pandas UDFs over ``mapInPandas``.
+
+Why AVI/MJPEG is the honest choice for a codec-less sandbox: AVI is a RIFF
+container (the same chunk grammar as WAV, already walked in
+``audio.decode_wav``) and Motion-JPEG stores every frame as an independent
+baseline JPEG — which ``operators/jpeg.py`` already encodes and decodes in
+pure numpy.  Composing the two gives a genuinely end-to-end video path:
+container walk → per-frame entropy decode → pixels, with zero new codec
+surface.  mp4/h264/vp9 remain honestly behind the marked fake tier (they
+need a real inter-frame codec).
+
+Tiers, mirroring images/audio:
+
+1. **Real** — AVI ('RIFF....AVI '): full hdrl parse (``avih`` dimensions +
+   frame count, ``strh`` rate/scale → fps) and movi chunk walk; each
+   ``00dc``/``00db`` frame chunk decoded by ``jpeg.decode_jpeg_pixels``.
+   ``make_avi_mjpeg`` builds canonical fixtures (idx1 index included) so
+   oracle queries can predict per-frame pixel statistics arithmetically —
+   the flat-tile exactness-by-construction trick from
+   ``multimodal_pixel_stats_jpeg`` applies per frame.
+2. **Header-real** — MP4/QuickTime ('ftyp' box walk: brand, mvhd
+   duration/timescale, tkhd width/height) — metadata without sample decode.
+3. **Deterministic fake** — everything else keeps the clearly-marked
+   md5-derived frames (see ``multimodal.sample_frames``).
+
+At 100 TB the rule is identical to the other modalities: never shuffle the
+binary column.  Every derivation is row-local (``mapInPandas``); downstream
+joins move only (doc_id, metadata/frame features).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .jpeg import decode_jpeg_pixels, make_jpeg
+
+VIDEO_METADATA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps", FloatType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# AVI build (the engine's own fixture generator, sibling of make_wav/make_png)
+# ---------------------------------------------------------------------------
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _list(list_type: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + body)
+
+
+def make_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 50
+) -> bytes:
+    """Serialize uint8 frames ((H, W) gray or (H, W, 3) RGB, all one size)
+    into a canonical AVI with one MJPG video stream — every frame an
+    independent baseline JPEG from ``jpeg.make_jpeg``.  Layout per the
+    public AVI RIFF spec: hdrl(avih + strl(strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER)) + movi('00dc' chunks) + idx1."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    blobs = []
+    for fr in frames:
+        if fr.shape[:2] != (h, w):
+            raise ValueError("all frames must share one size")
+        blobs.append(make_jpeg(fr, quality=quality))
+    max_blob = max(len(b) for b in blobs)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,          # dwMicroSecPerFrame
+        max_blob * fps,            # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        0x10,                      # dwFlags: AVIF_HASINDEX
+        len(blobs),                # dwTotalFrames
+        0,                         # dwInitialFrames
+        1,                         # dwStreams
+        max_blob,                  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0,                     # dwFlags
+            0, 0,                  # wPriority, wLanguage
+            0,                     # dwInitialFrames
+            1,                     # dwScale
+            fps,                   # dwRate (fps = rate/scale)
+            0,                     # dwStart
+            len(blobs),            # dwLength (frames)
+            max_blob,              # dwSuggestedBufferSize
+            0xFFFFFFFF,            # dwQuality (default)
+            0,                     # dwSampleSize (0: varies per frame)
+            0, 0, w, h,            # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, w, h, 1, 24, b"MJPG", max_blob, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+
+    movi_body = b"movi"
+    idx_entries = []
+    for b in blobs:
+        # idx1 offsets are relative to the 'movi' fourcc (the common
+        # convention modern demuxers expect)
+        idx_entries.append((len(movi_body), len(b)))
+        movi_body += _chunk(b"00dc", b)
+    movi = _chunk(b"LIST", movi_body)
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, ln) for off, ln in idx_entries
+    )
+    body = b"AVI " + hdrl + movi + _chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# AVI decode (REAL: RIFF walk + per-frame baseline-JPEG entropy decode)
+# ---------------------------------------------------------------------------
+
+def is_avi(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+
+
+def _walk_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, size) over a RIFF chunk run, honoring
+    even-byte padding; stops cleanly at a truncated tail."""
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        if pos + 8 + size > end:
+            return
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def parse_avi_header(payload: bytes) -> tuple[int, int, int, float] | None:
+    """(width, height, n_frames, fps) from avih/strh, or None if not AVI."""
+    try:
+        if not is_avi(payload):
+            return None
+        w = h = n = 0
+        fps = 0.0
+        for cid, body, size in _walk_chunks(payload, 12, len(payload)):
+            if cid != b"LIST" or payload[body : body + 4] != b"hdrl":
+                continue
+            for c2, b2, s2 in _walk_chunks(payload, body + 4, body + size):
+                if c2 == b"avih" and s2 >= 40:
+                    n, _ini, _ns, _buf, w, h = struct.unpack_from("<6I", payload, b2 + 16)
+                if c2 == b"LIST" and payload[b2 : b2 + 4] == b"strl":
+                    for c3, b3, s3 in _walk_chunks(payload, b2 + 4, b2 + s2):
+                        if c3 == b"strh" and s3 >= 36 and payload[b3 : b3 + 4] == b"vids":
+                            scale, rate = struct.unpack_from("<II", payload, b3 + 20)
+                            if scale:
+                                fps = rate / scale
+            return (w, h, n, fps)
+        return None
+    except (struct.error, ValueError):
+        return None
+
+
+def avi_frame_chunks(payload: bytes) -> list[bytes] | None:
+    """The raw per-frame byte blobs from the movi list ('..dc'/'..db'
+    chunks), container-level only — no codec assumptions yet."""
+    try:
+        if not is_avi(payload):
+            return None
+        for cid, body, size in _walk_chunks(payload, 12, len(payload)):
+            if cid == b"LIST" and payload[body : body + 4] == b"movi":
+                out = []
+                for c2, b2, s2 in _walk_chunks(payload, body + 4, body + size):
+                    if c2[2:4] in (b"dc", b"db"):
+                        out.append(payload[b2 : b2 + s2])
+                return out
+        return None
+    except (struct.error, ValueError):
+        return None
+
+
+def decode_avi_frames(payload: bytes) -> list[np.ndarray] | None:
+    """REAL video frame decode: every movi chunk through the pure-numpy
+    baseline-JPEG entropy decoder.  Returns None when the container is not
+    AVI or any frame is not a baseline JPEG this codec covers — callers
+    fall back to the declared-fake tier rather than half-decoding."""
+    chunks = avi_frame_chunks(payload)
+    if not chunks:
+        return None
+    frames = []
+    for b in chunks:
+        px = decode_jpeg_pixels(b)
+        if px is None:
+            return None
+        frames.append(px)
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# Header-real MP4 metadata (box walk, no sample decode)
+# ---------------------------------------------------------------------------
+
+def _mp4_boxes(buf: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        typ = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1 and pos + 16 <= end:
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def parse_mp4_header(payload: bytes) -> tuple[int, int, int, float] | None:
+    """(width, height, 0, duration_seconds) best-effort from ftyp/moov
+    boxes — header-real tier: brand check, mvhd timescale/duration, first
+    tkhd width/height.  Frame decode honestly absent (needs h264+)."""
+    try:
+        if len(payload) < 12:
+            return None
+        boxes = list(_mp4_boxes(payload, 0, len(payload)))
+        if not boxes or boxes[0][0] != b"ftyp":
+            return None
+        w = h = 0
+        dur = scale = 0
+        for typ, b, e in boxes:
+            if typ != b"moov":
+                continue
+            for t2, b2, e2 in _mp4_boxes(payload, b, e):
+                if t2 == b"mvhd" and e2 - b2 >= 20:
+                    ver = payload[b2]
+                    if ver == 1:
+                        scale = struct.unpack_from(">I", payload, b2 + 20)[0]
+                        dur = struct.unpack_from(">Q", payload, b2 + 24)[0]
+                    else:
+                        scale, dur = struct.unpack_from(">II", payload, b2 + 12)
+                elif t2 == b"trak":
+                    for t3, b3, e3 in _mp4_boxes(payload, b2, e2):
+                        if t3 == b"tkhd" and e3 - b3 >= 84 and not (w or h):
+                            ver = payload[b3]
+                            off = b3 + (96 if ver == 1 else 84) - 8
+                            wfx, hfx = struct.unpack_from(">II", payload, off)
+                            w, h = wfx >> 16, hfx >> 16
+        dur_s = dur / scale if scale else 0.0
+        return (w, h, 0, dur_s)
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# DataFrame surface
+# ---------------------------------------------------------------------------
+
+def video_metadata(
+    binary_df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """payload → typed metadata row, real for AVI, header-real for MP4,
+    md5-deterministic 'unknown' otherwise.  Row-local mapInPandas: the
+    binary column never shuffles; only this KB-sized metadata row moves."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                meta = parse_avi_header(payload)
+                if meta is not None:
+                    wdt, hgt, n, fps = meta
+                    rows.append((doc_id, len(payload), wdt, hgt, n, float(fps), "avi"))
+                    continue
+                m4 = parse_mp4_header(payload)
+                if m4 is not None:
+                    wdt, hgt, _n, dur = m4
+                    rows.append((doc_id, len(payload), wdt, hgt, 0, 0.0, "mp4"))
+                    continue
+                d = int.from_bytes(
+                    __import__("hashlib").md5(payload).digest()[:4], "little"
+                )
+                rows.append(
+                    (doc_id, len(payload), d % 640, d // 640 % 480, 0, 0.0, "unknown")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "width", "height", "n_frames", "fps", "format"],
+            )
+
+    return binary_df.mapInPandas(run, schema=VIDEO_METADATA_SCHEMA)
