@@ -798,6 +798,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(dbl(3) * 10000, 0).cast("int").alias("zcr_e4"),
         )
 
+    def audio_flac_stats(spark, sf):
+        """REAL COMPRESSED-audio decode path: the FLAC sibling of
+        multimodal_audio_stats.  Same deterministic signals (even ids a
+        constant-DC value, odd ids a ±A square wave, stereo every third
+        doc), but serialized as genuine FLAC streams
+        (operators/flac.make_flac): the square waves come back through
+        rice-coded fixed-predictor residuals, the stereo docs through
+        mid/side decorrelation, and every frame is CRC-verified
+        (operators/flac.decode_flac).  The oracle is identical arithmetic
+        to the WAV one — only an engine that truly entropy-decodes the
+        bitstream can recover RMS/mean/ZCR from compressed bytes."""
+        import numpy as np
+
+        from wordspell_spark.operators import flac as FL
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+
+        @F.pandas_udf("binary")
+        def flac_udf(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+            out = []
+            for d, c in zip(doc_id, n_chars):
+                d, c = int(d), int(c)
+                n = (c % 16 + 2) * 8  # always even -> square-wave mean is 0
+                if d % 2:
+                    amp = ((d * 7) % 100 + 10) * 256
+                    mono = np.empty(n, dtype=np.int64)
+                    mono[::2], mono[1::2] = amp, -amp
+                else:
+                    mono = np.full(n, ((d * 5) % 100 - 50) * 256, dtype=np.int64)
+                stereo = d % 3 == 0
+                s = np.repeat(mono[:, None], 2, axis=1) if stereo else mono
+                out.append(
+                    FL.make_flac(
+                        s,
+                        rate=8000,
+                        bits=16,
+                        stereo_mode="mid_side" if stereo else "independent",
+                        use_lpc=d % 5 == 0,
+                    )
+                )
+            return pd.Series(out)
+
+        payloads = docs.select("doc_id", flac_udf("doc_id", "n_chars").alias("payload"))
+        meta = AU.audio_metadata(payloads)
+        f = F.col("features")
+        dbl = lambda i: f.getItem(i).cast("double")
+        return meta.select(
+            "doc_id",
+            "sample_rate",
+            "channels",
+            "n_frames",
+            F.col("format").alias("fmt"),
+            F.round(dbl(0) * 1000, 0).cast("int").alias("dur_ms"),
+            F.round(dbl(1) * 32768, 0).cast("int").alias("rms_i"),
+            F.round(dbl(4) * 32768, 0).cast("int").alias("mean_i"),
+            F.round(dbl(3) * 10000, 0).cast("int").alias("zcr_e4"),
+        )
+
     # ---------------- relational core (TPC-H-ish) ----------------
 
     def pricing_summary(spark, sf):
@@ -994,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_stats": multimodal_frame_stats,
         "multimodal_video_frame_stats": multimodal_video_frame_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
+        "audio_flac_stats": audio_flac_stats,
         "pricing_summary": pricing_summary,
         "top_customers": top_customers,
         "events_sessions": events_sessions,
@@ -1199,6 +1258,20 @@ select doc_id,
        cast(case when doc_id % 3 = 0 then 2 else 1 end as int) as channels,
        cast((n_chars % 16 + 2) * 8 as bigint) as n_frames,
        'wav' as fmt,
+       cast(n_chars % 16 + 2 as int) as dur_ms,
+       cast(case when doc_id % 2 = 1 then ((doc_id * 7) % 100 + 10) * 256
+                 else abs(((doc_id * 5) % 100 - 50) * 256) end as int) as rms_i,
+       cast(case when doc_id % 2 = 1 then 0
+                 else ((doc_id * 5) % 100 - 50) * 256 end as int) as mean_i,
+       cast(case when doc_id % 2 = 1 then 10000 else 0 end as int) as zcr_e4
+from documents where doc_id < 100
+""",
+        "audio_flac_stats": """
+select doc_id,
+       cast(8000 as int) as sample_rate,
+       cast(case when doc_id % 3 = 0 then 2 else 1 end as int) as channels,
+       cast((n_chars % 16 + 2) * 8 as bigint) as n_frames,
+       'flac' as fmt,
        cast(n_chars % 16 + 2 as int) as dur_ms,
        cast(case when doc_id % 2 = 1 then ((doc_id * 7) % 100 + 10) * 256
                  else abs(((doc_id * 5) % 100 - 50) * 256) end as int) as rms_i,

@@ -17,17 +17,21 @@ Decode is tiered like images:
      sample path is real end to end: features (duration, RMS, peak, ZCR,
      DC offset) and linear-interpolation ``resample_audio`` re-encoded
      via ``make_wav``.
-   - FLAC: STREAMINFO metadata block (rate / channels / bits /
-     total-samples) — header-real, sample decode honestly absent.
+   - FLAC: REAL lossless sample decode (``operators/flac.py`` — pure
+     python/numpy bitstream decoder: rice-coded residuals over fixed and
+     LPC predictors, left/right/mid-side stereo decorrelation, CRC-8/16
+     verified frames, wasted bits; plus the STREAMINFO fast path for
+     metadata-only reads).  Features and ``resample_audio`` (transcoded
+     to WAV) run on genuinely entropy-decoded samples.
    - MP3: first frame header after an ID3v2 skip (MPEG version, layer,
      sample rate, channel mode) — header-real.
    - OGG: Vorbis identification header on the first page (channels,
      rate) — header-real.
 
 2. **Deterministic fake** — payloads that are not recognized audio (or
-   compressed formats whose sample decode needs a real codec) get the
-   clearly-marked md5-derived stand-in feature vector, so the plumbing
-   stays testable without native codecs.
+   perceptual codecs whose sample decode needs a real DSP stack — mp3,
+   vorbis) get the clearly-marked md5-derived stand-in feature vector, so
+   the plumbing stays testable without native codecs.
 
 At 100 TB the rule is identical to images: never shuffle the binary
 column.  Every derivation here is row-local (``mapInPandas``); downstream
@@ -255,22 +259,43 @@ def decode_audio_header(payload: bytes) -> tuple[int, int, int, int, str] | None
 
 
 # ---------------------------------------------------------------------------
-# Features + resample (real for WAV; declared fake elsewhere)
+# Features + resample (real for WAV + FLAC; declared fake elsewhere)
 # ---------------------------------------------------------------------------
 
+def decode_audio_samples(payload: bytes) -> tuple[np.ndarray, int, int] | None:
+    """Signed zero-centered PCM from any REAL-decode container.
+
+    WAV (PCM, no codec) or FLAC (full lossless entropy decode —
+    ``operators/flac.py``: rice-coded fixed/LPC predictors, stereo
+    decorrelation, CRC-verified frames).  WAV 8-bit unsigned is re-centered
+    to signed here so downstream normalization is uniformly
+    ``s / 2^(bits-1)`` across containers (FLAC PCM is signed at every
+    depth).  Returns (samples (n, ch), rate, bits) or None."""
+    wav = decode_wav(payload)
+    if wav is not None:
+        s, rate, bits = wav
+        if bits == 8:
+            s = s.astype(np.int16) - 128
+        return s, rate, bits
+    from .flac import decode_flac
+
+    return decode_flac(payload)
+
+
 def wav_features(payload: bytes, dim: int = AUDIO_FEATURE_DIM) -> np.ndarray | None:
-    """REAL audio features from decoded PCM samples.
+    """REAL audio features from decoded PCM samples (WAV container, or
+    FLAC through the full lossless decoder).
 
     [duration_s, rms, peak, zcr, dc_mean, rate/1e5, channels, bits/32]
     with rms/peak/dc on the normalized [-1, 1) full scale and zcr the
     fraction of adjacent sign changes on channel 0 (sign of 0 counts as
     non-negative, matching ``np.signbit``).
     """
-    wav = decode_wav(payload)
-    if wav is None:
+    dec = decode_audio_samples(payload)
+    if dec is None:
         return None
-    s, rate, bits = wav
-    x = normalize_samples(s, bits)
+    s, rate, bits = dec
+    x = s.astype(np.float64) / float(1 << (bits - 1))
     c0 = x[:, 0]
     if len(c0) > 1:
         flips = np.signbit(c0[1:]) != np.signbit(c0[:-1])
@@ -307,22 +332,27 @@ def _audio_features(payload: bytes, dim: int = AUDIO_FEATURE_DIM) -> np.ndarray:
 
 
 def resample_wav(payload: bytes, new_rate: int) -> bytes | None:
-    """Linear-interpolation resample of a PCM WAV, re-encoded via make_wav.
+    """Linear-interpolation resample of decodable PCM, re-encoded via
+    make_wav.
 
     The audio analog of ``multimodal.resize_images``: real sample math
     (np.interp per channel on the normalized scale, rounded back to the
-    original bit width), row-local, no codec.  Returns None for non-PCM
-    payloads — callers keep the original bytes and flag the row.
+    original bit width), row-local, no native codec.  FLAC input is
+    transcoded (decoded losslessly, re-emitted as WAV — the canonical
+    container of this pipeline, as resize re-emits PNG).  Returns None for
+    undecodable payloads — callers keep the original bytes and flag the row.
     """
-    wav = decode_wav(payload)
-    if wav is None or new_rate <= 0:
+    dec = decode_audio_samples(payload)
+    if dec is None or new_rate <= 0:
         return None
-    s, rate, bits = wav
+    s, rate, bits = dec
+    if bits not in (8, 16, 32):  # make_wav widths; FLAC 24-bit widens
+        s, bits = s.astype(np.int64) << (32 - bits), 32
     n = s.shape[0]
     m = max(1, int(round(n * new_rate / rate)))
     old_t = np.arange(n, dtype=np.float64) / rate
     new_t = np.arange(m, dtype=np.float64) / new_rate
-    x = normalize_samples(s, bits)
+    x = s.astype(np.float64) / float(1 << (bits - 1))
     out = np.stack([np.interp(new_t, old_t, x[:, c]) for c in range(s.shape[1])], axis=1)
     if bits == 8:
         q = np.clip(np.rint(out * 128.0 + 128.0), 0, 255).astype(np.uint8)
