@@ -801,13 +801,53 @@ class TestJpegPath:
         prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # progressive SOF2
         assert decode_jpeg_pixels(bytes(prog)) is None
         sub = bytearray(good)
-        sub[sub.find(b"\xff\xc0") + 4 + 7] = 0x22  # 2x2-subsampled luma
+        # 3x3 luma + 2x2 chroma: non-integer upsample ratio — outside the
+        # replication-upsampling subset (4:2:0/4:2:2 are now REAL, r4)
+        sub[sub.find(b"\xff\xc0") + 4 + 7] = 0x33
+        sub[sub.find(b"\xff\xc0") + 4 + 10] = 0x22
         assert decode_jpeg_pixels(bytes(sub)) is None
+        big = bytearray(good)
+        big[big.find(b"\xff\xc0") + 4 + 7] = 0x51  # factor 5: spec max is 4
+        assert decode_jpeg_pixels(bytes(big)) is None
         assert decode_jpeg_pixels(good[:60]) is None  # truncated in headers
         trunc = decode_jpeg_pixels(good[:-20])  # truncated entropy stream:
         assert trunc is None or isinstance(trunc, np.ndarray)  # never raises
         assert decode_jpeg_pixels(b"\xff\xd8\xff\xee") is None
         assert decode_jpeg_pixels(b"not a jpeg") is None
+
+    @pytest.mark.parametrize("sub,rst", [("420", 0), ("422", 0), ("420", 2), ("422", 3)])
+    def test_subsampled_chroma_roundtrip(self, sub, rst):
+        # r4: 4:2:0 / 4:2:2 (the layout >90% of web JPEGs use) decode REAL —
+        # MCU-interleaved luma blocks, box-averaged chroma, replication
+        # upsample; restart markers count MCUs
+        from wordspell_spark.operators.jpeg import decode_jpeg_pixels, make_jpeg
+
+        yy, xx = np.mgrid[0:33, 0:41]
+        img = np.stack(
+            [(xx * 4) % 256, (yy * 3 + xx) % 256, ((xx + yy) * 2) % 256], axis=2
+        ).astype(np.uint8)
+        dec = decode_jpeg_pixels(
+            make_jpeg(img, quality=75, subsampling=sub, restart_interval=rst)
+        )
+        assert dec is not None and dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3.0
+
+    def test_subsampled_flat_tiles_near_exact(self):
+        from wordspell_spark.operators.jpeg import decode_jpeg_pixels, make_jpeg
+
+        flat = np.full((16, 16, 3), [120, 60, 200], np.uint8)
+        for sub in ("420", "422"):
+            d = decode_jpeg_pixels(make_jpeg(flat, subsampling=sub))
+            # luma exact on even level-shift; chroma within rounding of the
+            # box average (which is the constant itself)
+            assert np.abs(d.astype(int) - flat.astype(int)).max() <= 1
+
+    def test_subsampled_gray_stays_bit_exact(self):
+        from wordspell_spark.operators.jpeg import decode_jpeg_pixels, make_jpeg
+
+        g = np.full((9, 11), 78, np.uint8)  # even level shift
+        d = decode_jpeg_pixels(make_jpeg(g, subsampling="420"))
+        assert np.array_equal(d[:, :, 0], g)
 
     def test_features_and_resize_real_for_jpeg(self, spark):
         from wordspell_spark.operators.jpeg import make_jpeg

@@ -157,15 +157,18 @@ _M = np.array(
 )
 
 
-def _blockify(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+def _blockify(plane: np.ndarray, by: int | None = None, bx: int | None = None) -> tuple[np.ndarray, int, int]:
     """(H, W) → (n_blocks, 8, 8) float64 with edge-replication padding,
-    plus the block-grid shape."""
+    plus the block-grid shape.  ``by``/``bx`` force a larger grid (MCU
+    alignment for subsampled scans)."""
     h, w = plane.shape
-    ph, pw = -h % 8, -w % 8
+    if by is None:
+        by = (h + 7) // 8
+    if bx is None:
+        bx = (w + 7) // 8
+    ph, pw = by * 8 - h, bx * 8 - w
     if ph or pw:
         plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-    hh, ww = plane.shape
-    by, bx = hh // 8, ww // 8
     blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     return blocks.astype(np.float64), by, bx
 
@@ -257,15 +260,24 @@ def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
 
-def make_jpeg(pixels: np.ndarray, quality: int = 50, restart_interval: int = 0) -> bytes:
+def make_jpeg(
+    pixels: np.ndarray,
+    quality: int = 50,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
     """Encode (H, W) gray or (H, W, 3) RGB uint8 as a baseline JFIF JPEG.
 
     ``quality`` follows the libjpeg convention (50 = spec Annex K tables
     unscaled, 100 = all-ones tables ≈ lossless up to DCT float rounding).
-    Color uses 4:4:4 (no chroma subsampling) so the decoder stays exact.
+    ``subsampling``: '444' (exact chroma, the default), '422' or '420'
+    (box-averaged chroma, the layout >90% of web JPEGs use — MCUs
+    interleave 2/4 luma blocks per chroma block pair).
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (resynchronization points a parallel decoder seeks to).
     """
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(f"unknown subsampling {subsampling!r}")
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -276,12 +288,26 @@ def make_jpeg(pixels: np.ndarray, quality: int = 50, restart_interval: int = 0) 
         raise ValueError("image dimensions out of JPEG range")
     ncomp = px.shape[2]
 
+    hy, vy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    if ncomp == 1:
+        hy = vy = 1
+    samp = [(hy, vy), (1, 1), (1, 1)][:ncomp]
+
     if ncomp == 3:
         p = px.astype(np.float64)
         y = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
         cb = 128.0 - 0.168735892 * p[:, :, 0] - 0.331264108 * p[:, :, 1] + 0.5 * p[:, :, 2]
         cr = 128.0 + 0.5 * p[:, :, 0] - 0.418687589 * p[:, :, 1] - 0.081312411 * p[:, :, 2]
-        planes = [y, cb, cr]
+
+        def down(c: np.ndarray) -> np.ndarray:
+            if (hy, vy) == (1, 1):
+                return c
+            ph, pw = -c.shape[0] % vy, -c.shape[1] % hy
+            if ph or pw:
+                c = np.pad(c, ((0, ph), (0, pw)), mode="edge")
+            return c.reshape(c.shape[0] // vy, vy, c.shape[1] // hy, hy).mean(axis=(1, 3))
+
+        planes = [y, down(cb), down(cr)]
     else:
         planes = [px[:, :, 0].astype(np.float64)]
 
@@ -293,10 +319,11 @@ def make_jpeg(pixels: np.ndarray, quality: int = 50, restart_interval: int = 0) 
     out += _dqt_segment(0, qluma)
     if ncomp == 3:
         out += _dqt_segment(1, qchroma)
-    # SOF0: precision 8, dims, components (id, sampling 0x11, quant table)
+    # SOF0: precision 8, dims, components (id, sampling factors, quant table)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
     out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -311,35 +338,40 @@ def make_jpeg(pixels: np.ndarray, quality: int = 50, restart_interval: int = 0) 
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # per-component FDCT + quantize; 4:4:4 interleaves one block per
-    # component per MCU, in block raster order
+    # per-component FDCT + quantize on an MCU-aligned block grid; the scan
+    # interleaves hi*vi blocks per component per MCU, in raster order
+    mcux, mcuy = -(-w // (8 * hy)), -(-h // (8 * vy))
     comp_q: list[np.ndarray] = []
     for ci, plane in enumerate(planes):
-        blocks, by, bx = _blockify(plane - 128.0)
+        hi, vi = samp[ci]
+        blocks, by, bx = _blockify(plane - 128.0, mcuy * vi, mcux * hi)
         coeffs = np.einsum("ux,nxy,vy->nuv", _M, blocks, _M)
         qt = (qluma if ci == 0 else qchroma).astype(np.float64)
         q = np.round(coeffs / qt).astype(np.int64)
-        comp_q.append(q.reshape(-1, 64)[:, ZIGZAG])
-    n_blocks = comp_q[0].shape[0]
+        comp_q.append(q.reshape(by, bx, 64)[:, :, ZIGZAG])
 
     writer = _BitWriter()
     prev = [0] * ncomp
     rst = 0
-    for b in range(n_blocks):
-        if restart_interval and b and b % restart_interval == 0:
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
             writer.flush()
             writer.out += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) % 8
             prev = [0] * ncomp
+        my, mx = divmod(m, mcux)
         for ci in range(ncomp):
+            hi, vi = samp[ci]
             tab = "0" if ci == 0 else "1"
-            prev[ci] = _encode_plane_coeffs(
-                writer,
-                comp_q[ci][b : b + 1],
-                _ENC_TABLES["dc" + tab],
-                _ENC_TABLES["ac" + tab],
-                prev[ci],
-            )
+            for v in range(vi):
+                for hh in range(hi):
+                    prev[ci] = _encode_plane_coeffs(
+                        writer,
+                        comp_q[ci][my * vi + v, mx * hi + hh][None, :],
+                        _ENC_TABLES["dc" + tab],
+                        _ENC_TABLES["ac" + tab],
+                        prev[ci],
+                    )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -439,9 +471,11 @@ class _BitReader:
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
-    """REAL baseline-JPEG pixel decode → (H, W, C) uint8, or None when the
-    payload is not a baseline Huffman JPEG this decoder covers (progressive,
-    subsampled chroma, 12-bit, arithmetic coding, or malformed bytes)."""
+    """REAL baseline-JPEG pixel decode → (H, W, C) uint8 — interleaved
+    scans at any integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...) with
+    replication chroma upsampling.  None when the payload is outside the
+    baseline subset (progressive, 12-bit, arithmetic coding, non-integer
+    factor ratios, or malformed bytes)."""
     try:
         return _decode_jpeg(payload)
     except (ValueError, IndexError, struct.error, KeyError):
@@ -496,9 +530,15 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
             comps = []
             for c in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    return None  # subsampled chroma: production codec territory
-                comps.append((cid, qid))
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    return None
+                comps.append((cid, hi, vi, qid))
+            # upsampling is integer replication: factors must divide the max
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                return None
             frame = (h, w, comps)
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -523,53 +563,67 @@ def _decode_scan(
     pos: int,
     h: int,
     w: int,
-    comps: list[tuple[int, int]],
+    comps: list[tuple[int, int, int, int]],
     scan_tabs: dict[int, tuple[int, int]],
     qt: dict[int, np.ndarray],
     huff: dict[tuple[int, int], _HuffDecoder],
     restart_interval: int,
 ) -> np.ndarray:
-    by, bx = (h + 7) // 8, (w + 7) // 8
-    n_blocks = by * bx
     ncomp = len(comps)
-    coeffs = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    coeffs = [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        for (_cid, hi, vi, _qid) in comps
+    ]
     br = _BitReader(data, pos)
     prev_dc = [0] * ncomp
-    for b in range(n_blocks):
-        if restart_interval and b and b % restart_interval == 0:
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
             br.align_restart()
             prev_dc = [0] * ncomp
-        for ci, (cid, _qid) in enumerate(comps):
+        my, mx = divmod(m, mcux)
+        for ci, (cid, hi, vi, _qid) in enumerate(comps):
             dc_id, ac_id = scan_tabs[cid]
             dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
-            size = dc_tab.decode(br)
-            prev_dc[ci] += br.receive_extend(size)
-            blk = coeffs[ci][b]
-            blk[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                rs = ac_tab.decode(br)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC index overrun")
-                blk[k] = br.receive_extend(size)
-                k += 1
+            for v in range(vi):
+                for hh in range(hi):
+                    size = dc_tab.decode(br)
+                    prev_dc[ci] += br.receive_extend(size)
+                    blk = coeffs[ci][my * vi + v, mx * hi + hh]
+                    blk[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        rs = ac_tab.decode(br)
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC index overrun")
+                        blk[k] = br.receive_extend(size)
+                        k += 1
 
     planes = []
-    for ci, (_cid, qid) in enumerate(comps):
-        dq = np.zeros((n_blocks, 64), dtype=np.float64)
-        dq[:, ZIGZAG] = coeffs[ci] * qt[qid].reshape(-1)[ZIGZAG]
+    for ci, (_cid, hi, vi, qid) in enumerate(comps):
+        by, bx = mcuy * vi, mcux * hi
+        dq = np.zeros((by * bx, 64), dtype=np.float64)
+        dq[:, ZIGZAG] = coeffs[ci].reshape(-1, 64) * qt[qid].reshape(-1)[ZIGZAG]
         blocks = dq.reshape(-1, 8, 8)
         spatial = np.einsum("xu,nuv,yv->nxy", _M.T, blocks, _M.T) + 128.0
         plane = (
             spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
+        # crop to this component's true extent, then replicate up to full
+        # resolution (libjpeg 'simple' upsampling)
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        plane = plane[:ch, :cw]
+        if vi != vmax or hi != hmax:
+            plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
         planes.append(plane[:h, :w])
 
     if ncomp == 1:
