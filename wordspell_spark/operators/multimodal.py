@@ -24,9 +24,11 @@ Decode is tiered (``_decode``):
    operates on real pixels).
 3. **Deterministic fake** — synthetic payloads that are not images (e.g.
    the text-derived fixture corpus) get the clearly-marked md5-derived
-   stand-in, so plumbing stays testable in codec-less containers.  WEBP
-   and non-baseline JPEG (progressive / subsampled / 12-bit) pixel decode
-   stay behind this tier without a native codec.
+   stand-in, so plumbing stays testable in codec-less containers.  Only
+   lossy-VP8 WebP and progressive/12-bit JPEG pixel decode stay behind
+   this tier (they need a perceptual codec); WebP-lossless is REAL via
+   ``operators/webp.py`` and subsampled baseline JPEG via
+   ``operators/jpeg.py``.
 
 At 100 TB the rule is: never shuffle the binary column.  All derivations
 here are row-local (mapInPandas, no groupBy touches ``payload``); any
@@ -582,9 +584,9 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray] | None:
 
 def decode_pixels(payload: bytes) -> np.ndarray | None:
     """Generic REAL pixel decode: dispatch on container magic to the PNG,
-    BMP, GIF, or baseline-JPEG pure-python decoder (GIF renders the first
-    frame).  Returns (H, W, C) uint8 or None when no real decoder applies
-    (WEBP, progressive/subsampled JPEG)."""
+    BMP, GIF, baseline-JPEG, or WebP-lossless pure-python decoder (GIF
+    renders the first frame).  Returns (H, W, C) uint8 or None when no
+    real decoder applies (lossy VP8 WebP, progressive JPEG)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
     if payload[:2] == b"BM":
@@ -596,6 +598,10 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
         from wordspell_spark.operators.jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from wordspell_spark.operators.webp import decode_webp_pixels
+
+        return decode_webp_pixels(payload)
     return None
 
 
@@ -658,9 +664,10 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 def _features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Tiered features: REAL pixel statistics for PNG / BMP / GIF /
-    baseline-JPEG payloads (``pixel_features`` — stdlib + pure-numpy
-    decode, no image library), md5 stand-in for the rest (WEBP and the
-    exotic JPEG modes need a native codec this container doesn't ship)."""
+    baseline-JPEG / WebP-lossless payloads (``pixel_features`` — stdlib +
+    pure-numpy decode, no image library), md5 stand-in for the rest
+    (lossy VP8 and progressive JPEG need a perceptual codec this
+    container doesn't ship)."""
     real = pixel_features(payload, dim)
     return real if real is not None else _fake_features(payload, dim)
 
