@@ -692,6 +692,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "format",
         )
 
+    def multimodal_pixel_stats_jpeg_prog(spark, sf):
+        """REAL PROGRESSIVE-JPEG decode (SOF2, r4): spectral-selection +
+        successive-approximation scans — DC at Al=1 plus refinement, AC
+        bands 1-5/6-63 at Al=1 plus refinements, per-scan optimal Huffman
+        tables with EOB-run symbols.  Same flat-tile
+        exactness-by-construction as the sequential JPEG oracles (even
+        values, MCU-aligned 16x16 tiles, gray-replicated RGB), with
+        4:2:0/4:2:2 alternating by parity — so the oracle predicts the
+        image mean arithmetically and any mis-sequenced scan, wrong EOB
+        run, or dropped refinement bit scrambles it."""
+        import numpy as np
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+
+        @F.pandas_udf("binary")
+        def jpeg_udf(doc_id: pd.Series) -> pd.Series:
+            out = []
+            I, J = np.mgrid[0:2, 0:4]
+            for d in doc_id:
+                d = int(d)
+                tiles = ((d * 9 + I * 36 + J * 18) % 120) * 2 + 8
+                px = np.kron(tiles, np.ones((16, 16), dtype=np.int64)).astype(np.uint8)
+                px = np.repeat(px[:, :, None], 3, axis=2)
+                out.append(
+                    JP.make_jpeg(
+                        px,
+                        subsampling="420" if d % 2 == 0 else "422",
+                        progressive=True,
+                    )
+                )
+            return pd.Series(out)
+
+        payloads = docs.select("doc_id", jpeg_udf("doc_id").alias("payload"))
+        meta = MM.decode_metadata(payloads)
+        f = F.col("features")
+        return meta.select(
+            "doc_id",
+            F.round(f.getItem(0).cast("double") * 255, 0).cast("int").alias("mean_px"),
+            "width",
+            "height",
+            "format",
+        )
+
     def multimodal_pixel_stats_webp(spark, sf):
         """REAL WebP-lossless (VP8L) decode — the FIFTH image container
         with a real pixel path (r4).  Payloads are engine-built lossless
@@ -1126,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pixel_stats_bmp": multimodal_pixel_stats_bmp,
         "multimodal_pixel_stats_jpeg": multimodal_pixel_stats_jpeg,
         "multimodal_pixel_stats_jpeg420": multimodal_pixel_stats_jpeg420,
+        "multimodal_pixel_stats_jpeg_prog": multimodal_pixel_stats_jpeg_prog,
         "multimodal_pixel_stats_webp": multimodal_pixel_stats_webp,
         "multimodal_frame_stats": multimodal_frame_stats,
         "multimodal_video_frame_stats": multimodal_video_frame_stats,
@@ -1295,6 +1339,18 @@ select doc_id,
        cast(case when doc_id % 2 = 1 then 0.47 else 0.0 end as double) as std_lum,
        'bmp' as format
 from documents where doc_id < 100
+""",
+        "multimodal_pixel_stats_jpeg_prog": """
+select doc_id,
+       cast(round(avg(((doc_id * 9 + s.i * 36 + t.j * 18) % 120) * 2 + 8)) as int) as mean_px,
+       cast(64 as int) as width,
+       cast(32 as int) as height,
+       'jpeg' as format
+from documents
+cross join generate_series(0, 1) as s(i)
+cross join generate_series(0, 3) as t(j)
+where doc_id < 100
+group by doc_id
 """,
         "multimodal_pixel_stats_webp": """
 select doc_id,

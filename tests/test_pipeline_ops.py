@@ -799,6 +799,8 @@ class TestJpegPath:
         assert decode_jpeg_pixels(good) is not None
         prog = bytearray(good)
         prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # progressive SOF2
+        # SOF2 flag on a BASELINE stream: the progressive decoder (r4) now
+        # engages but rejects the malformed scan header (Se=63 DC scan)
         assert decode_jpeg_pixels(bytes(prog)) is None
         sub = bytearray(good)
         # 3x3 luma + 2x2 chroma: non-integer upsample ratio — outside the
@@ -848,6 +850,40 @@ class TestJpegPath:
         g = np.full((9, 11), 78, np.uint8)  # even level shift
         d = decode_jpeg_pixels(make_jpeg(g, subsampling="420"))
         assert np.array_equal(d[:, :, 0], g)
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    @pytest.mark.parametrize("q", [30, 75])
+    def test_progressive_matches_baseline_pixels(self, sub, q):
+        # r4: SOF2 progressive decode (spectral selection + successive
+        # approximation + EOB runs).  Same quantized coefficients as the
+        # baseline path → decoded pixels must be bit-identical, even on
+        # noise (which stresses EOB runs, ZRL, and refinement corrections).
+        from wordspell_spark.operators.jpeg import decode_jpeg_pixels, make_jpeg
+
+        rng = np.random.default_rng(q)
+        img = rng.integers(0, 256, (24, 28, 3)).astype(np.uint8)
+        base = decode_jpeg_pixels(make_jpeg(img, quality=q, subsampling=sub))
+        prog = decode_jpeg_pixels(
+            make_jpeg(img, quality=q, subsampling=sub, progressive=True)
+        )
+        assert prog is not None and np.array_equal(base, prog)
+
+    def test_progressive_flat_tiles_bit_exact(self):
+        from wordspell_spark.operators.jpeg import decode_jpeg_pixels, make_jpeg
+
+        tiles = np.kron(
+            (np.arange(8).reshape(2, 4) * 30 + 8).astype(np.int64),
+            np.ones((8, 8), np.int64),
+        ).astype(np.uint8)
+        dec = decode_jpeg_pixels(make_jpeg(tiles, progressive=True))
+        assert np.array_equal(dec[:, :, 0], tiles)
+
+    def test_progressive_stream_is_multiscan(self):
+        from wordspell_spark.operators.jpeg import make_jpeg
+
+        prog = make_jpeg(np.full((16, 16, 3), 99, np.uint8), progressive=True)
+        assert prog.count(b"\xff\xda") >= 8  # DC×2 + AC bands per component
+        assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog[2:4]
 
     def test_features_and_resize_real_for_jpeg(self, spark):
         from wordspell_spark.operators.jpeg import make_jpeg

@@ -249,6 +249,261 @@ def _encode_plane_coeffs(
     return prev_dc
 
 
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 G.1: spectral selection + successive
+# approximation) — two-pass per scan: histogram → optimal DHT → emit
+# ---------------------------------------------------------------------------
+
+
+class _CountSink:
+    """First pass: count Huffman symbols; swallow raw bits."""
+
+    def __init__(self) -> None:
+        self.freq: dict[str, list[int]] = {}
+
+    def sym(self, table: str, s: int) -> None:
+        self.freq.setdefault(table, [0] * 256)[s] += 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _WriteSink:
+    """Second pass: emit codes from the tables built off the histogram."""
+
+    def __init__(self, writer: _BitWriter, codes: dict[str, dict[int, tuple[int, int]]]):
+        self.writer = writer
+        self.codes = codes
+
+    def sym(self, table: str, s: int) -> None:
+        c, ln = self.codes[table][s]
+        self.writer.put(c, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.writer.put(v, n)
+
+
+def _lengths_to_dht(freq: list[int]) -> tuple[list[int], list[int]]:
+    """(BITS, HUFFVAL) for a DHT segment from a symbol histogram."""
+    from .webp import _huffman_lengths  # depth-limited canonical lengths
+
+    lengths = _huffman_lengths(freq, maxlen=16)
+    nz = sorted((ln, sym) for sym, ln in enumerate(lengths) if ln > 0)
+    bits = [0] * 16
+    for ln, _sym in nz:
+        bits[ln - 1] += 1
+    vals = [sym for _ln, sym in nz]
+    return bits, vals
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, sign preserved (G.1.2.2)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _prog_dc_first(sink, comp_q, samp, mcux, mcuy, al: int) -> None:
+    ncomp = len(comp_q)
+    prev = [0] * ncomp
+    for m in range(mcuy * mcux):
+        my, mx = divmod(m, mcux)
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            tid = "dc0" if ci == 0 else "dc1"
+            for v in range(vi):
+                for hh in range(hi):
+                    val = int(comp_q[ci][my * vi + v, mx * hi + hh, 0]) >> al
+                    size, bits = _magnitude(val - prev[ci])
+                    prev[ci] = val
+                    sink.sym(tid, size)
+                    sink.bits(bits, size)
+
+
+def _prog_dc_refine(sink, comp_q, samp, mcux, mcuy, al: int) -> None:
+    for m in range(mcuy * mcux):
+        my, mx = divmod(m, mcux)
+        for ci in range(len(comp_q)):
+            hi, vi = samp[ci]
+            for v in range(vi):
+                for hh in range(hi):
+                    sink.bits((int(comp_q[ci][my * vi + v, mx * hi + hh, 0]) >> al) & 1, 1)
+
+
+def _prog_ac_first(sink, blocks, tid: str, ss: int, se: int, al: int) -> None:
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.sym(tid, r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for blk in blocks:
+        vals = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        last_nz = max(i for i, v in enumerate(vals) if v)
+        for i, v in enumerate(vals):
+            if i > last_nz:
+                break
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                sink.sym(tid, 0xF0)
+                r -= 16
+            size, bits = _magnitude(v)
+            sink.sym(tid, (r << 4) | size)
+            sink.bits(bits, size)
+            r = 0
+        if last_nz < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _prog_ac_refine(sink, blocks, tid: str, ss: int, se: int, al: int) -> None:
+    """Successive-approximation AC refinement (G.1.2.3), with correction
+    bits buffered across ZRLs and EOB runs exactly as the decoder expects."""
+    eobrun = 0
+    be: list[int] = []  # correction bits pending behind the EOB run
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.sym(tid, r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            for b in be:
+                sink.bits(b, 1)
+            be.clear()
+            eobrun = 0
+
+    for blk in blocks:
+        raw = [int(blk[k]) for k in range(ss, se + 1)]
+        absv = [abs(v) >> al for v in raw]
+        eob = 0  # index AFTER the last newly-significant coefficient
+        for i, v in enumerate(absv):
+            if v == 1:
+                eob = i + 1
+        r = 0
+        br_bits: list[int] = []
+        for i, v in enumerate(absv):
+            if v == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                flush_eob()
+                sink.sym(tid, 0xF0)
+                r -= 16
+                for b in br_bits:
+                    sink.bits(b, 1)
+                br_bits = []
+            if v > 1:  # already significant: buffer its correction bit
+                br_bits.append(v & 1)
+                continue
+            flush_eob()
+            sink.sym(tid, (r << 4) | 1)
+            sink.bits(1 if raw[i] >= 0 else 0, 1)
+            for b in br_bits:
+                sink.bits(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be.extend(br_bits)
+            if eobrun == 0x7FFF or len(be) > 900:
+                flush_eob()
+    flush_eob()
+
+
+def _comp_blocks_nonpadded(q: np.ndarray, hi: int, vi: int, hmax: int, vmax: int,
+                           h: int, w: int):
+    """The component's blocks in non-interleaved scan order (its own ceil
+    grid, which may be smaller than the MCU-padded storage grid)."""
+    cw_, ch_ = -(-w * hi // hmax), -(-h * vi // vmax)
+    bw_, bh_ = -(-cw_ // 8), -(-ch_ // 8)
+    for r in range(bh_):
+        for c in range(bw_):
+            yield q[r, c]
+
+
+def _encode_progressive_scans(
+    comp_q: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    mcux: int,
+    mcuy: int,
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+) -> bytes:
+    """The progressive scan sequence: per-scan DHT (histogram-optimal,
+    since EOB-run symbols don't exist in the Annex K tables) + SOS +
+    entropy bits."""
+    ncomp = len(comp_q)
+    AL = 1
+    scans: list[tuple] = [("dc_first", None, 0, 0, 0, AL), ("dc_refine", None, 0, 0, AL, 0)]
+    for ci in range(ncomp):
+        scans += [("ac_first", ci, 1, 5, 0, AL), ("ac_first", ci, 6, 63, 0, AL)]
+    for ci in range(ncomp):
+        scans += [("ac_refine", ci, 1, 5, AL, 0), ("ac_refine", ci, 6, 63, AL, 0)]
+
+    out = bytearray()
+    for kind, ci, ss, se, ah, al in scans:
+        def run(sink) -> None:
+            if kind == "dc_first":
+                _prog_dc_first(sink, comp_q, samp, mcux, mcuy, al)
+            elif kind == "dc_refine":
+                _prog_dc_refine(sink, comp_q, samp, mcux, mcuy, al)
+            else:
+                hi, vi = samp[ci]
+                blocks = list(
+                    _comp_blocks_nonpadded(comp_q[ci], hi, vi, hmax, vmax, h, w)
+                )
+                tid = "ac0" if ci == 0 else "ac1"
+                if kind == "ac_first":
+                    _prog_ac_first(sink, blocks, tid, ss, se, al)
+                else:
+                    _prog_ac_refine(sink, blocks, tid, ss, se, al)
+
+        counter = _CountSink()
+        run(counter)
+        codes: dict[str, dict[int, tuple[int, int]]] = {}
+        for tname in sorted(counter.freq):
+            freq = counter.freq[tname]
+            if not any(freq):
+                freq[0] = 1
+            bits, vals = _lengths_to_dht(freq)
+            out += _dht_segment(0 if tname[:2] == "dc" else 1, int(tname[2]), bits, vals)
+            codes[tname] = _build_codes(bits, vals)
+
+        if ci is None:  # DC scan: all components interleaved
+            sos = bytes([ncomp])
+            for c in range(ncomp):
+                td = 0 if c == 0 else 1
+                sos += bytes([c + 1, td << 4])
+        else:
+            ta = 0 if ci == 0 else 1
+            sos = bytes([1, ci + 1, ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        writer = _BitWriter()
+        run(_WriteSink(writer, codes))
+        writer.flush()
+        out += writer.out
+    return bytes(out)
+
+
 def _dqt_segment(tid: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
         int(table.reshape(-1)[ZIGZAG[k]]) for k in range(64)
@@ -265,8 +520,9 @@ def make_jpeg(
     quality: int = 50,
     restart_interval: int = 0,
     subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
-    """Encode (H, W) gray or (H, W, 3) RGB uint8 as a baseline JFIF JPEG.
+    """Encode (H, W) gray or (H, W, 3) RGB uint8 as a JFIF JPEG.
 
     ``quality`` follows the libjpeg convention (50 = spec Annex K tables
     unscaled, 100 = all-ones tables ≈ lossless up to DCT float rounding).
@@ -274,7 +530,13 @@ def make_jpeg(
     (box-averaged chroma, the layout >90% of web JPEGs use — MCUs
     interleave 2/4 luma blocks per chroma block pair).
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (resynchronization points a parallel decoder seeks to).
+    that many MCUs (baseline scans only).
+    ``progressive`` emits SOF2 with a libjpeg-like scan script — DC first
+    pass at Al=1 + DC refinement, then per-component AC bands 1-5 / 6-63
+    at Al=1 followed by their refinement scans — with per-scan optimal
+    Huffman tables (EOB-run symbols are not in the Annex K tables).
+    Identical quantized coefficients to the baseline path, so pixels
+    decode identically.
     """
     if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unknown subsampling {subsampling!r}")
@@ -319,24 +581,14 @@ def make_jpeg(
     out += _dqt_segment(0, qluma)
     if ncomp == 3:
         out += _dqt_segment(1, qchroma)
-    # SOF0: precision 8, dims, components (id, sampling factors, quant table)
+    # SOF: precision 8, dims, components (id, sampling factors, quant table)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         hi, vi = samp[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
-    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
-    if ncomp == 3:
-        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
-        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
 
     # per-component FDCT + quantize on an MCU-aligned block grid; the scan
     # interleaves hi*vi blocks per component per MCU, in raster order
@@ -349,6 +601,24 @@ def make_jpeg(
         qt = (qluma if ci == 0 else qchroma).astype(np.float64)
         q = np.round(coeffs / qt).astype(np.int64)
         comp_q.append(q.reshape(by, bx, 64)[:, :, ZIGZAG])
+
+    if progressive:
+        out += _encode_progressive_scans(comp_q, samp, mcux, mcuy, h, w, hy, vy)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if ncomp == 3:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     writer = _BitWriter()
     prev = [0] * ncomp
@@ -445,6 +715,12 @@ class _BitReader:
         self._n -= 1
         return (self._acc >> self._n) & 1
 
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
     def receive_extend(self, size: int) -> int:
         if size == 0:
             return 0
@@ -471,11 +747,13 @@ class _BitReader:
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
-    """REAL baseline-JPEG pixel decode → (H, W, C) uint8 — interleaved
-    scans at any integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...) with
-    replication chroma upsampling.  None when the payload is outside the
-    baseline subset (progressive, 12-bit, arithmetic coding, non-integer
-    factor ratios, or malformed bytes)."""
+    """REAL Huffman-JPEG pixel decode → (H, W, C) uint8 — baseline
+    sequential (SOF0/1) AND progressive (SOF2: spectral selection,
+    successive approximation, EOB runs), interleaved scans at any integer
+    sampling factors (4:4:4, 4:2:2, 4:2:0, ...) with replication chroma
+    upsampling.  None when the payload is outside the Huffman subset
+    (12-bit, arithmetic coding, hierarchical, non-integer factor ratios,
+    or malformed bytes)."""
     try:
         return _decode_jpeg(payload)
     except (ValueError, IndexError, struct.error, KeyError):
@@ -488,19 +766,26 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     restart_interval = 0
-    frame = None  # (h, w, [(comp_id, qt_id)])
+    frame = None  # (h, w, [(comp_id, hi, vi, qt_id)])
+    progressive = False
+    coeffs: list[np.ndarray] | None = None  # progressive: persists across scans
     i = 2
     n = len(data)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if data[i] != 0xFF:
             return None
-        while data[i + 1] == 0xFF and i + 4 <= n:  # fill bytes before a marker
+        while data[i + 1] == 0xFF and i + 2 < n:  # fill bytes before a marker
             i += 1
         marker = data[i + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and coeffs is not None and frame is not None:
+                h, w, comps = frame
+                return _reconstruct(h, w, comps, coeffs, qt)
             return None
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical: not covered
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # arithmetic / lossless / hierarchical: not covered
+        if i + 4 > n:
+            return None
         seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
         seg = data[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables)
@@ -522,9 +807,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                 vals = list(seg[j + 17 : j + 17 + nv])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 j += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if seg[0] != 8:
                 return None  # 12-bit precision
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -540,6 +826,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
             if any(hmax % c[1] or vmax % c[2] for c in comps):
                 return None
             frame = (h, w, comps)
+            if progressive:
+                mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                coeffs = [
+                    np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                    for (_cid, hi, vi, _qid) in comps
+                ]
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -548,12 +840,26 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
             h, w, comps = frame
             ns = seg[0]
             scan_tabs: dict[int, tuple[int, int]] = {}
+            scan_comps: list[int] = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
                 scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
-            return _decode_scan(
-                data, i + 2 + seg_len, h, w, comps, scan_tabs, qt, huff, restart_interval
+                for ci, (ccid, _hi, _vi, _qid) in enumerate(comps):
+                    if ccid == cid:
+                        scan_comps.append(ci)
+            if not progressive:
+                return _decode_scan(
+                    data, i + 2 + seg_len, h, w, comps, scan_tabs, qt, huff,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            i = _decode_progressive_scan(
+                data, i + 2 + seg_len, h, w, comps, scan_comps, scan_tabs,
+                huff, restart_interval, ss, se, ah_al >> 4, ah_al & 0x0F,
+                coeffs,
             )
+            continue
         i += 2 + seg_len
     return None
 
@@ -608,9 +914,25 @@ def _decode_scan(
                         blk[k] = br.receive_extend(size)
                         k += 1
 
+    return _reconstruct(h, w, comps, coeffs, qt)
+
+
+def _reconstruct(
+    h: int,
+    w: int,
+    comps: list[tuple[int, int, int, int]],
+    coeffs: list[np.ndarray],
+    qt: dict[int, np.ndarray],
+) -> np.ndarray:
+    """Dequantize + IDCT + chroma upsample + color-convert the per-component
+    zigzag coefficient grids (shared by the sequential and progressive
+    paths)."""
+    ncomp = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (_cid, hi, vi, qid) in enumerate(comps):
-        by, bx = mcuy * vi, mcux * hi
+        by, bx = coeffs[ci].shape[0], coeffs[ci].shape[1]
         dq = np.zeros((by * bx, 64), dtype=np.float64)
         dq[:, ZIGZAG] = coeffs[ci].reshape(-1, 64) * qt[qid].reshape(-1)[ZIGZAG]
         blocks = dq.reshape(-1, 8, 8)
@@ -637,3 +959,162 @@ def _decode_scan(
     else:
         raise ValueError(f"unsupported component count {ncomp}")
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Byte index of the next real marker (skipping stuffed FF00 and RSTn)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,) and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    h: int,
+    w: int,
+    comps: list[tuple[int, int, int, int]],
+    scan_comps: list[int],
+    scan_tabs: dict[int, tuple[int, int]],
+    huff: dict[tuple[int, int], _HuffDecoder],
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coeffs: list[np.ndarray],
+) -> int:
+    """One progressive scan (T.81 G.2): DC or AC band, first pass (Ah=0)
+    or successive-approximation refinement (Ah>0).  Mutates ``coeffs``;
+    returns the byte position of the marker that ends the scan."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    br = _BitReader(data, pos)
+
+    if ss == 0:  # DC scan (interleaved over all scan components)
+        if se != 0:
+            raise ValueError("progressive: DC scan with Se != 0")
+        prev_dc = [0] * len(scan_comps)
+        single = len(scan_comps) == 1
+        if single:
+            ci = scan_comps[0]
+            _cid, hi, vi, _qid = comps[ci]
+            cw_, ch_ = -(-w * hi // hmax), -(-h * vi // vmax)
+            bw_, bh_ = -(-cw_ // 8), -(-ch_ // 8)
+            units = bh_ * bw_
+        else:
+            units = mcuy * mcux
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                br.align_restart()
+                prev_dc = [0] * len(scan_comps)
+            if single:
+                ci = scan_comps[0]
+                blocks = [(ci, m // bw_, m % bw_)]
+            else:
+                my, mx = divmod(m, mcux)
+                blocks = []
+                for ci in scan_comps:
+                    _cid, hi, vi, _qid = comps[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            blocks.append((ci, my * vi + v, mx * hi + hh))
+            for k, (ci, byi, bxi) in enumerate(blocks):
+                cid = comps[ci][0]
+                if ah == 0:  # first DC pass
+                    dc_tab = huff[(0, scan_tabs[cid][0])]
+                    size = dc_tab.decode(br)
+                    si = scan_comps.index(ci) if not single else 0
+                    prev_dc[si] += br.receive_extend(size)
+                    coeffs[ci][byi, bxi, 0] = prev_dc[si] << al
+                else:  # DC refinement: one bit per block
+                    if br.read_bit():
+                        coeffs[ci][byi, bxi, 0] |= 1 << al
+        return _next_marker_pos(data, br.pos)
+
+    # AC scan: exactly one component, non-interleaved block order
+    if len(scan_comps) != 1 or not (1 <= ss <= se <= 63):
+        raise ValueError("progressive: bad AC scan header")
+    ci = scan_comps[0]
+    cid, hi, vi, _qid = comps[ci]
+    cw_, ch_ = -(-w * hi // hmax), -(-h * vi // vmax)
+    bw_, bh_ = -(-cw_ // 8), -(-ch_ // 8)
+    ac_tab = huff[(1, scan_tabs[cid][1])]
+    eobrun = 0
+    for m in range(bh_ * bw_):
+        if restart_interval and m and m % restart_interval == 0:
+            br.align_restart()
+            eobrun = 0
+        blk = coeffs[ci][m // bw_, m % bw_]
+        if ah == 0:  # first pass for this band
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = ac_tab.decode(br)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run < 15:  # EOBn: run of end-of-bands
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += br.read_bits(run)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > se:
+                    raise ValueError("progressive: AC index overrun")
+                blk[k] = br.receive_extend(size) << al
+                k += 1
+        else:  # refinement pass (T.81 G.1.2.3)
+            p1, m1 = 1 << al, -1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = ac_tab.decode(br)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run < 15:
+                            eobrun = (1 << run)
+                            if run:
+                                eobrun += br.read_bits(run)
+                            break
+                        # ZRL: skip 16 zero-history coefficients
+                    elif size == 1:
+                        pass  # newly significant coefficient of ±1<<al
+                    else:
+                        raise ValueError("progressive: bad refinement size")
+                    newval = 0
+                    if size == 1:
+                        newval = p1 if br.read_bit() else m1
+                    # advance over `run` zero-history coeffs, appending
+                    # correction bits to nonzero-history ones on the way
+                    while k <= se:
+                        if blk[k] != 0:
+                            if br.read_bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if run == 0:
+                                if newval:
+                                    blk[k] = newval
+                                k += 1
+                                break
+                            run -= 1
+                        k += 1
+            if eobrun > 0:
+                # inside an EOB run: correction bits for the remaining
+                # nonzero-history coefficients of this block
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+    return _next_marker_pos(data, br.pos)

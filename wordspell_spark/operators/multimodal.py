@@ -25,9 +25,9 @@ Decode is tiered (``_decode``):
 3. **Deterministic fake** — synthetic payloads that are not images (e.g.
    the text-derived fixture corpus) get the clearly-marked md5-derived
    stand-in, so plumbing stays testable in codec-less containers.  Only
-   lossy-VP8 WebP and progressive/12-bit JPEG pixel decode stay behind
-   this tier (they need a perceptual codec); WebP-lossless is REAL via
-   ``operators/webp.py`` and subsampled baseline JPEG via
+   lossy-VP8 WebP and 12-bit/arithmetic JPEG pixel decode stay behind
+   this tier; WebP-lossless is REAL via ``operators/webp.py`` and both
+   sequential and progressive Huffman JPEG (incl. subsampled chroma) via
    ``operators/jpeg.py``.
 
 At 100 TB the rule is: never shuffle the binary column.  All derivations
@@ -586,7 +586,7 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
     """Generic REAL pixel decode: dispatch on container magic to the PNG,
     BMP, GIF, baseline-JPEG, or WebP-lossless pure-python decoder (GIF
     renders the first frame).  Returns (H, W, C) uint8 or None when no
-    real decoder applies (lossy VP8 WebP, progressive JPEG)."""
+    real decoder applies (lossy VP8 WebP, 12-bit/arithmetic JPEG)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
     if payload[:2] == b"BM":
@@ -666,8 +666,8 @@ def _features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Tiered features: REAL pixel statistics for PNG / BMP / GIF /
     baseline-JPEG / WebP-lossless payloads (``pixel_features`` — stdlib +
     pure-numpy decode, no image library), md5 stand-in for the rest
-    (lossy VP8 and progressive JPEG need a perceptual codec this
-    container doesn't ship)."""
+    (lossy VP8 needs a perceptual codec this container doesn't ship;
+    12-bit/arithmetic JPEG stays out of the Huffman subset)."""
     real = pixel_features(payload, dim)
     return real if real is not None else _fake_features(payload, dim)
 
