@@ -117,6 +117,14 @@ class TestCompressedHeaders:
         stereo_v2 = bytes([0xFF, 0xF3, 0x94, 0x00])  # MPEG2, 24kHz, stereo
         assert A.decode_audio_header(stereo_v2) == (24000, 2, -1, -1, "mp3")
 
+    def test_mp3_v25_and_reserved_version(self):
+        # MPEG2.5 uses its own rate table (half of V2), and the reserved
+        # version code 0b01 is not a valid frame at all
+        v25 = bytes([0xFF, 0xE3, 0x90, 0xC0])  # MPEG2.5 L3, rate idx 0 → 11025
+        assert A.decode_audio_header(v25) == (11025, 1, -1, -1, "mp3")
+        reserved = bytes([0xFF, 0xEB, 0x90, 0xC0])
+        assert A.decode_audio_header(reserved) is None
+
     def test_ogg_vorbis_ident(self):
         ogg = (b"OggS" + bytes(24) + b"\x01vorbis" + bytes(4) + bytes([2])
                + struct.pack("<I", 48000) + bytes(16))

@@ -878,6 +878,14 @@ class TestJpegPath:
         dec = decode_jpeg_pixels(make_jpeg(tiles, progressive=True))
         assert np.array_equal(dec[:, :, 0], tiles)
 
+    def test_progressive_without_scans_is_none(self):
+        # SOI + DQT + SOF2 + EOI (no SOS): must be None, not a gray image
+        from wordspell_spark.operators.jpeg import decode_jpeg_pixels, make_jpeg
+
+        prog = make_jpeg(np.full((8, 8), 50, np.uint8), progressive=True)
+        first_sos = prog.find(b"\xff\xda")
+        assert decode_jpeg_pixels(prog[:first_sos] + b"\xff\xd9") is None
+
     def test_progressive_stream_is_multiscan(self):
         from wordspell_spark.operators.jpeg import make_jpeg
 

@@ -452,11 +452,13 @@ class TestDecoderOnlyPaths:
             assert tuple(dec[0, 4 + x]) == (100 + x, 70, 80, 255)
 
     def test_color_transform(self):
-        # one block, g2r=64 (i.e. +2 per green unit of 32? delta=(int8)64*(int8)g>>5)
+        # one block; RFC 9649 packs g2r in the BLUE byte, g2b in GREEN,
+        # r2b in RED of the transform pixel (delta = (int8)t*(int8)c >> 5).
+        # Asymmetric g2r != r2b so a channel swap cannot cancel out.
         w, h = 2, 1
         bits = 3  # block 8 → single block
         g2r, g2b, r2b = 64, 32, 16
-        tf_px = _argb(0, g2r, g2b, r2b)
+        tf_px = _argb(0, r2b, g2b, g2r)
         final = [(255, 30, 40, 50), (255, 130, 140, 150)]  # (a, r, g, b)
 
         def ct(t, c):

@@ -122,18 +122,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int] | None:
     try:
         if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             return None
-        pos, fmt, data = 12, None, None
-        while pos + 8 <= len(payload):
-            cid = payload[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", payload, pos + 4)
-            body = payload[pos + 8 : pos + 8 + size]
-            if len(body) < size:
-                return None  # truncated chunk
+        from .riff import walk_chunks
+
+        fmt, data = None, None
+        for cid, body, size in walk_chunks(payload, 12, len(payload)):
             if cid == b"fmt ":
-                fmt = body
+                fmt = payload[body : body + size]
             elif cid == b"data":
-                data = body
-            pos += 8 + size + (size & 1)
+                data = payload[body : body + size]
         if fmt is None or data is None or len(fmt) < 16:
             return None
         audio_fmt, ch, rate, _br, block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
@@ -164,6 +160,7 @@ def normalize_samples(s: np.ndarray, bits: int) -> np.ndarray:
 
 _MP3_RATES = {0b00: 44100, 0b01: 48000, 0b10: 32000}  # MPEG1
 _MP3_RATES_V2 = {0b00: 22050, 0b01: 24000, 0b10: 16000}
+_MP3_RATES_V25 = {0b00: 11025, 0b01: 12000, 0b10: 8000}
 
 
 def _flac_streaminfo(payload: bytes) -> tuple[int, int, int, int] | None:
@@ -208,11 +205,13 @@ def _mp3_header(payload: bytes) -> tuple[int, int] | None:
     b0, b1, b2, b3 = payload[pos : pos + 4]
     if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
         return None
-    version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2
+    version = (b1 >> 3) & 0x3  # 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    if version == 0b01:
+        return None  # reserved version code: not a valid frame
     rate_idx = (b2 >> 2) & 0x3
     if rate_idx == 0b11:
         return None
-    table = _MP3_RATES if version == 0b11 else _MP3_RATES_V2
+    table = {0b11: _MP3_RATES, 0b10: _MP3_RATES_V2, 0b00: _MP3_RATES_V25}[version]
     mode = (b3 >> 6) & 0x3
     return table[rate_idx], 1 if mode == 0b11 else 2
 
@@ -284,17 +283,21 @@ def decode_audio_samples(payload: bytes) -> tuple[np.ndarray, int, int] | None:
 
 def wav_features(payload: bytes, dim: int = AUDIO_FEATURE_DIM) -> np.ndarray | None:
     """REAL audio features from decoded PCM samples (WAV container, or
-    FLAC through the full lossless decoder).
+    FLAC through the full lossless decoder)."""
+    dec = decode_audio_samples(payload)
+    if dec is None:
+        return None
+    return pcm_stats(*dec, dim=dim)
+
+
+def pcm_stats(s: np.ndarray, rate: int, bits: int, dim: int = AUDIO_FEATURE_DIM) -> np.ndarray:
+    """Feature vector from already-decoded signed zero-centered PCM.
 
     [duration_s, rms, peak, zcr, dc_mean, rate/1e5, channels, bits/32]
     with rms/peak/dc on the normalized [-1, 1) full scale and zcr the
     fraction of adjacent sign changes on channel 0 (sign of 0 counts as
     non-negative, matching ``np.signbit``).
     """
-    dec = decode_audio_samples(payload)
-    if dec is None:
-        return None
-    s, rate, bits = dec
     x = s.astype(np.float64) / float(1 << (bits - 1))
     c0 = x[:, 0]
     if len(c0) > 1:
@@ -383,12 +386,22 @@ def audio_metadata(
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
-                hdr = decode_audio_header(payload)
-                if hdr is None:
-                    rate, ch, bits, n_frames, fmt = -1, -1, -1, -1, "unknown"
+                # decode PCM at most once per row: the WAV fast path feeds
+                # both the header row and the features from one decode
+                wav = decode_wav(payload)
+                if wav is not None:
+                    s, rate, bits = wav
+                    ch, n_frames, fmt = s.shape[1], s.shape[0], "wav"
+                    if bits == 8:
+                        s = s.astype(np.int16) - 128
+                    feats = pcm_stats(s, rate, bits)
                 else:
-                    rate, ch, bits, n_frames, fmt = hdr
-                feats = _audio_features(payload)
+                    hdr = decode_audio_header(payload)
+                    if hdr is None:
+                        rate, ch, bits, n_frames, fmt = -1, -1, -1, -1, "unknown"
+                    else:
+                        rate, ch, bits, n_frames, fmt = hdr
+                    feats = _audio_features(payload)
                 rows.append(
                     (int(doc_id), len(payload), rate, ch, bits, n_frames, fmt,
                      [float(v) for v in feats])

@@ -769,6 +769,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
     frame = None  # (h, w, [(comp_id, hi, vi, qt_id)])
     progressive = False
     coeffs: list[np.ndarray] | None = None  # progressive: persists across scans
+    scans_decoded = 0
     i = 2
     n = len(data)
     while i + 2 <= n:
@@ -778,10 +779,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
             i += 1
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
-            if progressive and coeffs is not None and frame is not None:
+            if progressive and coeffs is not None and frame is not None and scans_decoded:
                 h, w, comps = frame
                 return _reconstruct(h, w, comps, coeffs, qt)
-            return None
+            return None  # scan-less streams decode to nothing, not gray
         if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # arithmetic / lossless / hierarchical: not covered
         if i + 4 > n:
@@ -859,6 +860,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                 huff, restart_interval, ss, se, ah_al >> 4, ah_al & 0x0F,
                 coeffs,
             )
+            scans_decoded += 1
             continue
         i += 2 + seg_len
     return None

@@ -51,6 +51,7 @@ from pyspark.sql.types import (
 )
 
 from .jpeg import decode_jpeg_pixels, make_jpeg
+from .riff import walk_chunks as _walk_chunks
 
 VIDEO_METADATA_SCHEMA = StructType(
     [
@@ -159,18 +160,6 @@ def is_avi(payload: bytes) -> bool:
     return len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
 
 
-def _walk_chunks(buf: bytes, pos: int, end: int):
-    """Yield (fourcc, body_start, size) over a RIFF chunk run, honoring
-    even-byte padding; stops cleanly at a truncated tail."""
-    while pos + 8 <= end:
-        cid = buf[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", buf, pos + 4)
-        if pos + 8 + size > end:
-            return
-        yield cid, pos + 8, size
-        pos += 8 + size + (size & 1)
-
-
 def parse_avi_header(payload: bytes) -> tuple[int, int, int, float] | None:
     """(width, height, n_frames, fps) from avih/strh, or None if not AVI."""
     try:
@@ -270,17 +259,22 @@ def parse_mp4_header(payload: bytes) -> tuple[int, int, int, float] | None:
                 if t2 == b"mvhd" and e2 - b2 >= 20:
                     ver = payload[b2]
                     if ver == 1:
+                        if e2 - b2 < 32:  # v1: 8-byte times + u64 duration
+                            continue
                         scale = struct.unpack_from(">I", payload, b2 + 20)[0]
                         dur = struct.unpack_from(">Q", payload, b2 + 24)[0]
                     else:
                         scale, dur = struct.unpack_from(">II", payload, b2 + 12)
                 elif t2 == b"trak":
                     for t3, b3, e3 in _mp4_boxes(payload, b2, e2):
-                        if t3 == b"tkhd" and e3 - b3 >= 84 and not (w or h):
-                            ver = payload[b3]
-                            off = b3 + (96 if ver == 1 else 84) - 8
-                            wfx, hfx = struct.unpack_from(">II", payload, off)
-                            w, h = wfx >> 16, hfx >> 16
+                        if t3 != b"tkhd" or (w or h):
+                            continue
+                        ver = payload[b3]
+                        need = 96 if ver == 1 else 84  # v1 body is 12B longer
+                        if e3 - b3 < need:
+                            continue
+                        wfx, hfx = struct.unpack_from(">II", payload, b3 + need - 8)
+                        w, h = wfx >> 16, hfx >> 16
         dur_s = dur / scale if scale else 0.0
         return (w, h, 0, dur_s)
     except (struct.error, ValueError, IndexError):

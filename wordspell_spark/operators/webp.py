@@ -494,9 +494,12 @@ def _inv_color_transform(px: np.ndarray, tf: np.ndarray, bits: int) -> np.ndarra
     h, w, _ = px.shape
     yy, xx = np.mgrid[0:h, 0:w]
     blk_y, blk_x = yy >> bits, xx >> bits
-    g2r = tf[blk_y, blk_x, 1]   # red channel of the transform pixel
+    # RFC 9649 / libwebp ColorCodeToMultipliers: the transform pixel packs
+    # green_to_red in its BLUE byte (bits 0-7), green_to_blue in GREEN
+    # (8-15), red_to_blue in RED (16-23)
+    g2r = tf[blk_y, blk_x, 3]   # blue channel of the transform pixel
     g2b = tf[blk_y, blk_x, 2]   # green channel
-    r2b = tf[blk_y, blk_x, 3]   # blue channel
+    r2b = tf[blk_y, blk_x, 1]   # red channel
     out = px.astype(np.int64)
     g = out[:, :, 2]
     out[:, :, 1] = (out[:, :, 1] + _ctdelta(g2r, g)) & 0xFF
@@ -543,14 +546,11 @@ def find_vp8l_chunk(payload: bytes) -> bytes | None:
     VP8X), or None."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         return None
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8 : pos + 8 + size]
+    from .riff import walk_chunks
+
+    for cid, body, size in walk_chunks(payload, 12, len(payload)):
         if cid == b"VP8L":
-            return body
-        pos += 8 + size + (size & 1)
+            return payload[body : body + size]
     return None
 
 
