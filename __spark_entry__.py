@@ -867,6 +867,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "frame_idx", "n_frames", mean_udf("frame").alias("mean_px"))
         )
 
+    def image_phash_neardup(spark, sf):
+        """Perceptual image dedup over REAL decoded pixels (r4): pHash
+        (32x32 DCT low-frequency sign hash) + pigeonhole-banded Hamming
+        self-join (multimodal.image_neardup_pairs — the image sibling of
+        simhash text dedup; never all-pairs).  Per group g = doc_id//3,
+        doc 3g is a random-low-frequency PNG, doc 3g+1 the same image
+        under ±2 pixel noise (a re-encode-style perturbation that breaks
+        exact hashing), doc 3g+2 a different pattern.  Verified by
+        construction: near pairs land at Hamming ≤ 2, everything else at
+        ≥ 18 — so the oracle predicts the EXACT pair set {(3g, 3g+1)}, and
+        any fake (md5) hash tier or broken band join returns a different
+        set."""
+        import numpy as np
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+
+        @F.pandas_udf("binary")
+        def png_udf(doc_id: pd.Series) -> pd.Series:
+            D = MM._PHASH_DCT
+
+            def base_img(seed, h=40, w=48):
+                rng = np.random.default_rng(seed)
+                c = np.zeros((32, 32))
+                c[:8, :8] = rng.uniform(-1, 1, (8, 8)) * 400
+                c[0, 0] = 4000
+                img32 = np.clip(D.T @ c @ D, 0, 255).astype(np.uint8)
+                ri = np.round(np.linspace(0, 31, h)).astype(int)
+                ci = np.round(np.linspace(0, 31, w)).astype(int)
+                return img32[np.ix_(ri, ci)]
+
+            out = []
+            for d in doc_id:
+                d = int(d)
+                g, r = divmod(d, 3)
+                if r == 0:
+                    px = base_img(1000 + g)
+                elif r == 1:
+                    rng = np.random.default_rng(2000 + d)
+                    px = np.clip(
+                        base_img(1000 + g).astype(int) + rng.integers(-2, 3, (40, 48)),
+                        0, 255,
+                    ).astype(np.uint8)
+                else:
+                    px = base_img(10000 + g)
+                out.append(MM.make_png(0, 0, px))
+            return pd.Series(out)
+
+        payloads = docs.select("doc_id", png_udf("doc_id").alias("payload"))
+        return (
+            MM.image_neardup_pairs(payloads, max_hamming=6)
+            .select("id_a", "id_b")
+            .orderBy("id_a")
+        )
+
     def multimodal_audio_stats(spark, sf):
         """REAL audio (WAV/PCM) decode path — the audio modality's sibling of
         multimodal_pixel_stats.  Per doc, build a PCM WAV
@@ -1173,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pixel_stats_webp": multimodal_pixel_stats_webp,
         "multimodal_frame_stats": multimodal_frame_stats,
         "multimodal_video_frame_stats": multimodal_video_frame_stats,
+        "image_phash_neardup": image_phash_neardup,
         "multimodal_audio_stats": multimodal_audio_stats,
         "audio_flac_stats": audio_flac_stats,
         "pricing_summary": pricing_summary,
@@ -1409,6 +1464,10 @@ from (
          end as samples
   from documents where doc_id < 60
 ) d, unnest(d.samples) as t(u)
+""",
+        "image_phash_neardup": """
+select cast(doc_id as bigint) as id_a, cast(doc_id + 1 as bigint) as id_b
+from documents where doc_id < 120 and doc_id % 3 = 0
 """,
         "multimodal_audio_stats": """
 select doc_id,

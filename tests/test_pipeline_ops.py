@@ -1032,3 +1032,76 @@ class TestMultimodalTransforms:
         for r in out:
             per_doc.setdefault(r["doc_id"], set()).add(r["frame_idx"])
         assert all(v == {0, 1, 2} for v in per_doc.values())
+
+
+class TestImagePhash:
+    """Perceptual image dedup (r4): pHash over real decoded pixels + banded
+    Hamming self-join — the image-modality sibling of simhash_pairs."""
+
+    @staticmethod
+    def _base_img(seed, h=40, w=48):
+        from wordspell_spark.operators.multimodal import _PHASH_DCT as D
+
+        rng = np.random.default_rng(seed)
+        c = np.zeros((32, 32))
+        c[:8, :8] = rng.uniform(-1, 1, (8, 8)) * 400
+        c[0, 0] = 4000
+        img32 = np.clip(D.T @ c @ D, 0, 255).astype(np.uint8)
+        ri = np.round(np.linspace(0, 31, h)).astype(int)
+        ci = np.round(np.linspace(0, 31, w)).astype(int)
+        return img32[np.ix_(ri, ci)]
+
+    def test_phash_robust_to_perturbation_and_container(self):
+        from wordspell_spark.operators.jpeg import make_jpeg
+        from wordspell_spark.operators.multimodal import make_png, phash64
+
+        rng = np.random.default_rng(3)
+        base = self._base_img(7)
+        pert = np.clip(base.astype(int) + rng.integers(-2, 3, base.shape), 0, 255).astype(np.uint8)
+        other = self._base_img(8)
+        h0, h1 = phash64(make_png(0, 0, base)), phash64(make_png(0, 0, pert))
+        h2 = phash64(make_png(0, 0, other))
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert ham(h0, h1) <= 4 < 12 <= ham(h0, h2)
+        # cross-container: the same pixels through a lossy JPEG re-encode
+        # still land within budget — the exact property byte-hashing lacks
+        hj = phash64(make_jpeg(base, quality=75))
+        assert ham(h0, hj) <= 6
+
+    def test_phash_never_fabricated_for_fakes(self):
+        from wordspell_spark.operators.multimodal import phash64
+
+        assert phash64(b"not an image at all") is None
+
+    def test_image_neardup_pairs_exact_set(self, spark):
+        from pyspark.sql import functions as F
+        from wordspell_spark.operators.multimodal import image_neardup_pairs, make_png
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for g in range(4):
+            base = self._base_img(100 + g)
+            pert = np.clip(base.astype(int) + rng.integers(-2, 3, base.shape), 0, 255).astype(np.uint8)
+            rows.append((3 * g, make_png(0, 0, base)))
+            rows.append((3 * g + 1, make_png(0, 0, pert)))
+            rows.append((3 * g + 2, make_png(0, 0, self._base_img(900 + g))))
+        rows.append((99, b"opaque non-image"))  # fake tier: dropped, never paired
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = sorted((r["id_a"], r["id_b"]) for r in image_neardup_pairs(df, max_hamming=6).collect())
+        assert got == [(3 * g, 3 * g + 1) for g in range(4)]
+
+    def test_fingerprint_pairs_plan_is_banded(self, spark):
+        from wordspell_spark.operators.multimodal import fingerprint_pairs
+
+        fp = spark.createDataFrame([(i, i * 7919) for i in range(50)], "id long, phash long")
+        pairs = fingerprint_pairs(fp, max_hamming=6, n_bands=8)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan  # banded bucket join, never all-pairs
+        pairs.count()
+
+    def test_fingerprint_pairs_pigeonhole_guard(self, spark):
+        from wordspell_spark.operators.multimodal import fingerprint_pairs
+
+        fp = spark.createDataFrame([(1, 2)], "id long, phash long")
+        with pytest.raises(AssertionError):
+            fingerprint_pairs(fp, max_hamming=8, n_bands=8)

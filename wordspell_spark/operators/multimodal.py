@@ -835,3 +835,134 @@ def multimodal_metadata(docs: DataFrame, text_col: str = "text", id_col: str = "
     so the result is exactly DuckDB-oracle-checkable via md5)."""
     meta = decode_metadata(attach_binary(docs, text_col, id_col))
     return meta.select("doc_id", "n_bytes", "width", "height", "format")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: pHash over REAL decoded pixels + banded Hamming
+# self-join (the image-modality sibling of dedup.simhash_pairs)
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 64
+
+# orthonormal 32-point DCT-II matrix for the pHash low-frequency block
+_PHASH_DCT = np.sqrt(2.0 / 32.0) * np.cos(
+    np.pi * (np.arange(32)[None, :] + 0.5) * np.arange(32)[:, None] / 32.0
+)
+_PHASH_DCT[0] *= np.sqrt(0.5)
+
+
+def phash64(payload: bytes) -> int | None:
+    """64-bit perceptual hash from genuinely decoded pixels, or None when
+    no real decoder applies (the fake tier must never produce a phash —
+    colliding md5 stand-ins would fabricate near-dups).
+
+    Classic DCT pHash: luminance → nearest-sample to 32x32 → 2D DCT-II →
+    top-left 8x8 low-frequency block → each of the 63 non-DC coefficients
+    compared to their median (bit 63 is always 0).  Deterministic pure
+    numpy; robust to small pixel perturbations and to lossy re-encoding,
+    which is exactly the near-dup signal exact hashing cannot give."""
+    px = decode_pixels(payload)
+    if px is None:
+        return None
+    lum = png_luminance(px)
+    h, w = lum.shape
+    ri = np.round(np.linspace(0, h - 1, 32)).astype(int)
+    ci = np.round(np.linspace(0, w - 1, 32)).astype(int)
+    small = lum[np.ix_(ri, ci)]
+    coef = (_PHASH_DCT @ small @ _PHASH_DCT.T)[:8, :8].reshape(-1)[1:]  # drop DC
+    med = np.median(coef)
+    bits = coef > med
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v
+
+
+def image_phash(
+    binary_df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """payload → (id, phash LONG); rows whose payload has no real pixel
+    decode are dropped (never fabricated).  Row-local mapInPandas — the
+    binary column stays behind; only (id, 8-byte hash) moves, so the
+    downstream banded join shuffles KB-scale rows at any corpus size."""
+    narrow = binary_df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, p in zip(pdf["id"], pdf["payload"]):
+                hv = phash64(bytes(p)) if p is not None else None
+                if hv is not None:
+                    ids.append(int(i))
+                    # store as signed int64 (two's complement bit pattern)
+                    hashes.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "phash": pd.Series(hashes, dtype="int64")})
+
+    schema = StructType([StructField("id", LongType()), StructField("phash", LongType())])
+    return narrow.mapInPandas(run, schema=schema)
+
+
+def fingerprint_pairs(
+    fp_df: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    bits: int = PHASH_BITS,
+    fp_col: str = "phash",
+) -> DataFrame:
+    """Near-dup pairs among 64-bit fingerprints with Hamming ≤ max_hamming.
+
+    The same pigeonhole banding plan as ``dedup.simhash_pairs`` (n_bands >
+    max_hamming ⇒ any in-budget pair agrees exactly on ≥1 band), with the
+    exact ``bit_count(xor)`` distance filtered inside the band-join stage —
+    never all-pairs, and the distinct dedups only true near-pairs.  Scales
+    as the number of band-bucket collisions, not corpus²."""
+    assert n_bands > max_hamming, "pigeonhole requires n_bands > max_hamming"
+    assert bits % n_bands == 0
+    w = bits // n_bands
+    base = fp_df.select("id", F.col(fp_col).alias("fp")).persist()
+    bands = base.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("fp"), b * w).bitwiseAND(F.lit((1 << w) - 1))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    a = bands.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "band_idx", "band_bits")
+    b = bands.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "band_idx", "band_bits")
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    pairs = (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+    from .dedup import _register_owned_cache
+
+    _register_owned_cache(pairs, base)
+    return pairs
+
+
+def image_neardup_pairs(
+    binary_df: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """End-to-end perceptual image dedup: real pixel decode → pHash →
+    banded Hamming self-join.  Catches re-encoded / slightly-perturbed
+    duplicates that exact byte hashing misses — the image-side analog of
+    MinHash text dedup, and the reason the engine insists on REAL decode
+    tiers (md5 stand-ins would either never collide or collide wrongly)."""
+    return fingerprint_pairs(
+        image_phash(binary_df, id_col, payload_col), max_hamming, n_bands
+    )
