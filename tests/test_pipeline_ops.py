@@ -1105,3 +1105,116 @@ class TestImagePhash:
         fp = spark.createDataFrame([(1, 2)], "id long, phash long")
         with pytest.raises(AssertionError):
             fingerprint_pairs(fp, max_hamming=8, n_bands=8)
+
+
+class TestContainerVariants:
+    """r4 long-tail container variants: Adam7/16-bit/sub-byte PNG, 4-pass
+    interlaced GIF, BI_RLE8 BMP — each hand-built per spec and decoded by
+    the same pure-stdlib paths as the canonical layouts."""
+
+    @staticmethod
+    def _png(width, height, depth, color, raw, interlace=0, plte=None):
+        import struct as S
+        import zlib
+
+        def chunk(t, d):
+            return S.pack(">I", len(d)) + t + d + S.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        ihdr = S.pack(">IIBBBBB", width, height, depth, color, 0, 0, interlace)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    def test_png_16bit_gray(self):
+        from wordspell_spark.operators.multimodal import decode_png_pixels
+
+        vals = (np.arange(15).reshape(3, 5) * 16 + 3).astype(np.uint16) * 257
+        raw = b"".join(b"\x00" + vals[y].astype(">u2").tobytes() for y in range(3))
+        px = decode_png_pixels(self._png(5, 3, 16, 0, raw))
+        assert np.array_equal(px[:, :, 0], (vals >> 8).astype(np.uint8))
+
+    def test_png_1bit_gray_rescales(self):
+        from wordspell_spark.operators.multimodal import decode_png_pixels
+
+        bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1], [0, 1, 0, 0, 1, 1, 0, 1, 0]], np.uint8)
+        raw = b"".join(b"\x00" + np.packbits(bits[y]).tobytes() for y in range(2))
+        px = decode_png_pixels(self._png(9, 2, 1, 0, raw))
+        assert np.array_equal(px[:, :, 0], bits * 255)
+
+    def test_png_4bit_palette(self):
+        from wordspell_spark.operators.multimodal import decode_png_pixels
+
+        plte = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250], [9, 9, 9]], np.uint8)
+        idx = np.array([[0, 1, 2, 3, 2], [3, 2, 1, 0, 1]], np.uint8)
+        packed = np.packbits(
+            np.stack([idx >> 3 & 1, idx >> 2 & 1, idx >> 1 & 1, idx & 1], -1).reshape(2, -1),
+            axis=1,
+        )
+        raw = b"".join(b"\x00" + packed[y].tobytes() for y in range(2))
+        px = decode_png_pixels(self._png(5, 2, 4, 3, raw, plte=plte.tobytes()))
+        assert np.array_equal(px, plte[idx])
+
+    def test_png_adam7_interlaced(self):
+        from wordspell_spark.operators.multimodal import _ADAM7, decode_png_pixels
+
+        img = (np.arange(54).reshape(6, 9) * 4 + 1).astype(np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            for r in img[y0::dy, x0::dx]:
+                raw += b"\x00" + r.tobytes()
+        px = decode_png_pixels(self._png(9, 6, 8, 0, bytes(raw), interlace=1))
+        assert np.array_equal(px[:, :, 0], img)
+
+    def test_gif_interlaced_frame(self):
+        from wordspell_spark.operators.multimodal import decode_gif_frames, make_gif
+
+        img = (np.arange(80).reshape(10, 8) * 3 % 256).astype(np.uint8)
+        order = np.concatenate(
+            [np.arange(s, 10, t) for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        gif = bytearray(make_gif([img[order]]))  # store rows in pass order
+        packed = gif[10]
+        pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+        while gif[pos] == 0x21:  # skip extensions to the image descriptor
+            pos += 2
+            while gif[pos]:
+                pos += 1 + gif[pos]
+            pos += 1
+        assert gif[pos] == 0x2C
+        gif[pos + 9] |= 0x40  # set the interlace flag
+        frames = decode_gif_frames(bytes(gif))
+        assert frames is not None and np.array_equal(frames[0][:, :, 0], img)
+
+    def test_bmp_rle8(self):
+        import struct as S
+
+        from wordspell_spark.operators.multimodal import decode_bmp_pixels
+
+        w, h = 6, 3
+        pal = b"".join(bytes([i, i * 2 % 256, i * 3 % 256, 0]) for i in range(256))
+        rle = bytes(
+            [3, 7]                      # encoded run
+            + [0, 3, 1, 2, 9, 0]        # absolute run of 3 (+pad)
+            + [0, 0]                    # end of line
+            + [6, 5, 0, 0]              # full row, EOL
+            + [2, 1, 0, 2, 2, 0]        # run, delta skip (2,0)
+            + [2, 4, 0, 1]              # run, end of bitmap
+        )
+        off = 14 + 40 + 256 * 4
+        info = S.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 0, 0, 256, 0)
+        bmp = b"BM" + S.pack("<IHHI", off + len(rle), 0, 0, off) + info + pal + rle
+        px = decode_bmp_pixels(bmp)
+        palette = np.frombuffer(pal, np.uint8).reshape(-1, 4)[:, [2, 1, 0]]
+        grid = np.zeros((h, w), np.uint8)  # file rows, bottom-up
+        grid[0] = [7, 7, 7, 1, 2, 9]
+        grid[1] = [5] * 6
+        grid[2] = [1, 1, 0, 0, 4, 4]
+        assert np.array_equal(px, palette[grid][::-1])
+
+    def test_bmp_rle8_on_truecolor_still_none(self):
+        from wordspell_spark.operators.multimodal import decode_bmp_pixels, make_bmp
+
+        bad = bytearray(make_bmp(np.zeros((4, 4), np.uint8)))
+        bad[30] = 1  # BI_RLE8 flag on a 24-bit image: spec-invalid
+        assert decode_bmp_pixels(bytes(bad)) is None

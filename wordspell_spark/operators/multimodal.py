@@ -212,60 +212,14 @@ def make_png(width: int, height: int, pixels: np.ndarray | None = None) -> bytes
     )
 
 
-def decode_png_pixels(payload: bytes) -> np.ndarray | None:
-    """REAL PNG pixel decode — pure stdlib (zlib inflate + per-row
-    unfilter), the inverse of ``make_png``.  No image library needed.
-
-    Supports non-interlaced 8-bit-depth PNGs of every color type (gray,
-    RGB, palette, gray+alpha, RGBA) and all five scanline filters.
-    Returns an (H, W, C) uint8 array, or None for anything else (16-bit,
-    Adam7 interlace, truncated/corrupt streams) — callers fall back to the
-    md5 stub path, so an unsupported file degrades, never crashes.
-    """
-    import zlib
-
-    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
-        return None
-    pos, idat, plte, trns = 8, [], None, None
-    width = height = channels = None
-    try:
-        while pos + 8 <= len(payload):
-            (length,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
-            data = payload[pos + 8 : pos + 8 + length]
-            if len(data) < length:
-                return None
-            if typ == b"IHDR":
-                width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                    ">IIBBBBB", data[:13]
-                )
-                if depth != 8 or interlace != 0:
-                    return None
-                channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-                if channels is None:
-                    return None
-                color_type = color
-            elif typ == b"PLTE":
-                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-            elif typ == b"tRNS":
-                trns = np.frombuffer(data, dtype=np.uint8)
-            elif typ == b"IDAT":
-                idat.append(data)
-            elif typ == b"IEND":
-                break
-            pos += 12 + length
-        if width is None or not idat:
-            return None
-        raw = zlib.decompress(b"".join(idat))
-    except (struct.error, zlib.error):
-        return None
-    stride = width * channels
-    if len(raw) != height * (1 + stride):
-        return None
-    bpp = channels  # bytes per pixel at depth 8
+def _png_unfilter(raw: bytes, offset: int, height: int, stride: int, bpp: int) -> np.ndarray | None:
+    """Undo the five PNG scanline filters over ``height`` rows of
+    ``stride`` bytes (each prefixed by one filter-type byte) starting at
+    ``offset``; returns (height, stride) uint8 or None on a bad filter."""
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        row_start = y * (1 + stride)
+        row_start = offset + y * (1 + stride)
         ftype = raw[row_start]
         filt = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=row_start + 1)
         if ftype == 0:  # None
@@ -295,7 +249,117 @@ def decode_png_pixels(payload: bytes) -> np.ndarray | None:
             return None
         out[y] = cur
         prev = cur
-    px = out.reshape(height, width, channels)
+    return out
+
+
+def _png_rows_to_samples(rows: np.ndarray, width: int, channels: int, depth: int) -> np.ndarray:
+    """(n_rows, stride_bytes) unfiltered bytes → (n_rows, width, channels)
+    uint8 samples.  16-bit scales down to 8 (high byte); 1/2/4-bit unpack
+    MSB-first per the spec (values are palette indices or gray levels —
+    gray is rescaled to full 8-bit range by the caller)."""
+    n = rows.shape[0]
+    if depth == 8:
+        return rows[:, : width * channels].reshape(n, width, channels)
+    if depth == 16:
+        u16 = rows[:, : width * channels * 2].reshape(n, width * channels, 2)
+        return u16[:, :, 0].reshape(n, width, channels)  # big-endian high byte
+    bits = np.unpackbits(rows, axis=1)  # MSB-first
+    per = 8 // depth
+    # sample i spans bits [i*depth, (i+1)*depth), MSB first
+    idx = np.arange(rows.shape[1] * per) * depth
+    vals = np.zeros((n, rows.shape[1] * per), dtype=np.uint8)
+    for k in range(depth):
+        vals |= bits[:, idx + k] << (depth - 1 - k)
+    return vals[:, :width].reshape(n, width, 1)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray | None:
+    """REAL PNG pixel decode — pure stdlib (zlib inflate + per-row
+    unfilter), the inverse of ``make_png``.  No image library needed.
+
+    Supports every PNG color type (gray, RGB, palette, gray+alpha, RGBA)
+    at bit depths 1/2/4/8/16 (16-bit scaled to 8), all five scanline
+    filters, and Adam7 interlacing.  Returns an (H, W, C) uint8 array, or
+    None for truncated/corrupt streams — callers fall back to the md5 stub
+    path, so an unsupported file degrades, never crashes.
+    """
+    import zlib
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, plte, trns = 8, [], None, None
+    width = height = channels = None
+    try:
+        while pos + 8 <= len(payload):
+            (length,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None
+            if typ == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data[:13]
+                )
+                channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+                if channels is None or interlace not in (0, 1):
+                    return None
+                if depth not in (1, 2, 4, 8, 16) or (
+                    depth < 8 and color not in (0, 3)
+                ) or (depth == 16 and color == 3):
+                    return None  # combinations the spec forbids
+                color_type = color
+            elif typ == b"PLTE":
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif typ == b"tRNS":
+                trns = np.frombuffer(data, dtype=np.uint8)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + length
+        if width is None or not idat:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+    except (struct.error, zlib.error):
+        return None
+    bpp = max(1, channels * depth // 8)
+
+    def stride_of(w: int) -> int:
+        return (w * channels * depth + 7) // 8
+
+    if interlace == 0:
+        stride = stride_of(width)
+        if len(raw) != height * (1 + stride):
+            return None
+        rows = _png_unfilter(raw, 0, height, stride, bpp)
+        if rows is None:
+            return None
+        px = _png_rows_to_samples(rows, width, channels, depth)
+    else:  # Adam7: seven independently-filtered sub-images, scattered back
+        px = np.zeros((height, width, channels), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            stride = stride_of(pw)
+            need = ph * (1 + stride)
+            if offset + need > len(raw):
+                return None
+            rows = _png_unfilter(raw, offset, ph, stride, bpp)
+            if rows is None:
+                return None
+            offset += need
+            px[y0::dy, x0::dx] = _png_rows_to_samples(rows, pw, channels, depth)
+        if offset != len(raw):
+            return None
+    if color_type == 0 and depth < 8:  # gray: rescale to full 8-bit range
+        px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if color_type == 3:  # palette → RGB(A)
         if plte is None or px.max() >= len(plte):
             return None
@@ -339,8 +403,10 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray | None:
     (negative height) row orders, 4-byte row padding.
 
     Returns (H, W, C) uint8 — C=3 for 8/24-bit, C=4 (RGBA) for 32-bit — or
-    None for compressed / exotic variants (RLE, bitfields, 1/4/16-bit),
-    which fall back to the md5 stub path like unsupported PNGs."""
+    None for exotic variants (bitfields, 1/4/16-bit, RLE4), which fall
+    back to the md5 stub path like unsupported PNGs.  r4: BI_RLE8
+    compression is REAL (encoded/absolute runs, end-of-line/bitmap and
+    delta escapes)."""
     if len(payload) < 54 or payload[:2] != b"BM":
         return None
     try:
@@ -351,8 +417,10 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray | None:
         w, h_raw, _planes, bpp, compression = struct.unpack("<iiHHI", payload[18:34])
     except struct.error:
         return None
-    if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or h_raw == 0:
+    if compression not in (0, 1) or bpp not in (8, 24, 32) or w <= 0 or h_raw == 0:
         return None
+    if compression == 1 and bpp != 8:
+        return None  # BI_RLE8 is defined for 8-bit only
     top_down, h = h_raw < 0, abs(h_raw)
     palette = None
     if bpp == 8:
@@ -361,6 +429,41 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray | None:
         pal = np.frombuffer(payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off)
         palette = pal.reshape(-1, 4)[:, [2, 1, 0]]  # BGRX → RGB
     bytes_pp = bpp // 8
+    if compression == 1:  # BI_RLE8: decode into the (file-order) row grid
+        grid = np.zeros((h, w), dtype=np.uint8)
+        x = y = 0
+        i = data_off
+        while i + 1 < len(payload):
+            cnt, val = payload[i], payload[i + 1]
+            i += 2
+            if cnt:  # encoded run
+                if y >= h:
+                    return None
+                run = min(cnt, w - x)
+                grid[y, x : x + run] = val
+                x += run
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta: skipped pixels stay 0 (spec: undefined)
+                if i + 2 > len(payload):
+                    return None
+                x, y = x + payload[i], y + payload[i + 1]
+                i += 2
+            else:  # absolute run of `val` raw indices, padded to even
+                if i + val > len(payload) or y >= h:
+                    return None
+                run = min(val, w - x)
+                grid[y, x : x + run] = np.frombuffer(
+                    payload, dtype=np.uint8, count=run, offset=i
+                )
+                x += run
+                i += val + (val & 1)
+        rows = grid
+        if not top_down:
+            rows = rows[::-1]
+        return palette[rows]
     stride = (w * bytes_pp + 3) & ~3
     need = data_off + stride * h
     if len(payload) < need:
@@ -519,9 +622,10 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray] | None:
     tables of any size, sub-rectangle frames composited onto the running
     canvas (disposal "draw on top"), partial LZW streams accepted.
 
-    Returns a list of (H, W, 3) uint8 RGB canvases, one per rendered frame,
-    or None for payloads this decoder doesn't handle (interlaced frames,
-    truncated descriptors) — callers fall back to the stub path.
+    Returns a list of (H, W, 3) uint8 RGB canvases, one per rendered frame
+    (r4: incl. 4-pass interlaced frames, deinterlaced to display order), or
+    None for payloads this decoder doesn't handle (truncated descriptors) —
+    callers fall back to the stub path.
     Transparency indices are drawn opaque (dedup/feature pipelines want
     deterministic pixels, not compositing fidelity)."""
     n = len(payload)
@@ -552,8 +656,7 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray] | None:
                 return None
             fx, fy, fw, fh, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
             pos += 9
-            if ipacked & 0x40:  # interlaced — unsupported, degrade
-                return None
+            interlaced = bool(ipacked & 0x40)
             ct = gct
             if ipacked & 0x80:
                 size = 2 << (ipacked & 0x07)
@@ -573,6 +676,16 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray] | None:
             if idx is None or len(idx) < fw * fh:
                 return None
             indices = np.frombuffer(bytes(idx[: fw * fh]), dtype=np.uint8).reshape(fh, fw)
+            if interlaced:
+                # GIF 4-pass interlace: rows are stored pass-by-pass
+                # (every 8th from 0, every 8th from 4, every 4th from 2,
+                # every 2nd from 1) — scatter back to display order
+                order = np.concatenate(
+                    [np.arange(s, fh, step) for s, step in ((0, 8), (4, 8), (2, 4), (1, 2))]
+                )
+                deinter = np.empty_like(indices)
+                deinter[order] = indices
+                indices = deinter
             if indices.max() >= len(ct):
                 return None
             canvas[fy : fy + fh, fx : fx + fw] = ct[indices]
