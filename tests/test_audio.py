@@ -219,3 +219,53 @@ class TestSparkPlumbing:
             else:
                 assert r["resampled"] is False
                 assert bytes(r["payload"]) == b"opaque blob"
+
+
+class TestWavVariants:
+    """r4 long-tail WAV variants: IEEE float32 PCM (format 3) and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping PCM/float SubFormats."""
+
+    @staticmethod
+    def _wav(fmt_body, data):
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        body += b"data" + struct.pack("<I", len(data)) + data
+        if len(data) % 2:
+            body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_float32_pcm(self):
+        x = (np.sin(np.arange(64) / 5) * 0.5).astype("<f4")
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+        dec = A.decode_wav(self._wav(fmt, x.tobytes()))
+        assert dec is not None
+        s, rate, bits = dec
+        assert (rate, bits, s.shape) == (8000, 32, (64, 1))
+        back = s[:, 0].astype(np.float64) / 2147483648.0
+        assert np.abs(back - x.astype(np.float64)).max() < 1e-9
+
+    def test_extensible_pcm16(self):
+        raw = np.arange(-50, 50, dtype=np.int16)
+        sub = struct.pack("<H", 1) + b"\x00" * 14  # PCM SubFormat GUID head
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+        fmt += struct.pack("<HHI", 22, 16, 0x4) + sub
+        dec = A.decode_wav(self._wav(fmt, raw.tobytes()))
+        assert dec is not None
+        s, rate, bits = dec
+        assert rate == 16000 and bits == 16 and np.array_equal(s[:, 0], raw)
+
+    def test_extensible_float(self):
+        x = np.linspace(-0.9, 0.9, 32).astype("<f4")
+        sub = struct.pack("<H", 3) + b"\x00" * 14
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, 32)
+        fmt += struct.pack("<HHI", 22, 32, 0x4) + sub
+        s, rate, bits = A.decode_wav(self._wav(fmt, x.tobytes()))
+        assert bits == 32
+        assert np.abs(s[:, 0] / 2147483648.0 - x.astype(np.float64)).max() < 1e-9
+
+    def test_compressed_format_still_none(self):
+        fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 8)  # MP3-in-WAV
+        assert A.decode_wav(self._wav(fmt, b"\x00" * 64)) is None
+
+    def test_float_wrong_width_none(self):
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)  # float16: no
+        assert A.decode_wav(self._wav(fmt, b"\x00" * 64)) is None

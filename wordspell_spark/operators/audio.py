@@ -114,10 +114,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int] | None:
     """REAL WAV decode: (samples (n, ch) int ndarray, rate, bits) or None.
 
     Walks RIFF chunks (tolerates extra chunks like LIST/fact before or
-    after ``data``), PCM format only (8-bit unsigned / 16-bit / 32-bit
-    signed LE).  Anything else — compressed WAVE formats, float PCM,
-    truncated containers — returns None and callers fall back to the
-    declared-fake tier.
+    after ``data``).  Covers integer PCM (8-bit unsigned / 16-bit / 32-bit
+    signed LE), IEEE float32 PCM (format 3 — quantized to int32 full
+    scale), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either SubFormat
+    (the layout most DAWs emit for >2-channel or >16-bit files).  Anything
+    else — compressed WAVE formats — returns None and callers fall back to
+    the declared-fake tier.
     """
     try:
         if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -133,11 +135,24 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int] | None:
         if fmt is None or data is None or len(fmt) < 16:
             return None
         audio_fmt, ch, rate, _br, block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-        if audio_fmt != 1 or ch < 1 or bits not in (8, 16, 32) or block != ch * bits // 8:
+        if audio_fmt == 0xFFFE and len(fmt) >= 40:
+            # WAVE_FORMAT_EXTENSIBLE: the real format is the SubFormat
+            # GUID's leading u16 (1 = PCM, 3 = IEEE float)
+            audio_fmt = struct.unpack_from("<H", fmt, 24)[0]
+        is_float = audio_fmt == 3
+        if is_float and bits != 32:
+            return None
+        if audio_fmt not in (1, 3) or ch < 1 or bits not in (8, 16, 32) or block != ch * bits // 8:
             return None
         n = len(data) // block
         if n == 0:
             return None
+        if is_float:
+            f = np.frombuffer(data[: n * block], dtype="<f4").reshape(n, ch)
+            s = np.clip(
+                np.rint(f.astype(np.float64) * 2147483648.0), -(2**31), 2**31 - 1
+            ).astype(np.int32)
+            return s, int(rate), 32
         dt = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
         s = np.frombuffer(data[: n * block], dtype=dt).reshape(n, ch)
         return s, int(rate), int(bits)
