@@ -118,10 +118,27 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "q_events_sessions": 1.8 * _g,
     }
 
+    def wait_quiet(max_s: float) -> float:
+        """Between retries, wait (bounded) for a co-tenant storm to pass:
+        re-running straight into the same storm just burns the retry.  A
+        1-s /proc/stat steal probe under 5% counts as quiet."""
+        waited = 0.0
+        while waited < max_s:
+            b0, s0 = cpu_jiffies()
+            time.sleep(1.0)
+            b1, s1 = cpu_jiffies()
+            tot = (b1 - b0) + (s1 - s0)
+            if tot <= 0 or (s1 - s0) / tot < 0.05:
+                break
+            time.sleep(2.0)
+            waited += 3.0
+        return waited
+
     def run(name: str, fn, *, max_tries: int = 3):
         tries = []
         out = None
-        for _ in range(max_tries):
+        retry_waited = 0.0
+        for attempt in range(max_tries):
             b0, s0 = cpu_jiffies()
             t0 = time.time()
             out = fn()
@@ -133,6 +150,8 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
             slow = name in guards and dt > guards[name]
             if not (noisy or slow):
                 break
+            if noisy and attempt + 1 < max_tries:
+                retry_waited += wait_quiet(45.0)
         # report the BEST try: every try re-executes the full lineage cold,
         # so under additive co-tenant noise the minimum wall is the least
         # contaminated measurement of the same work.  (Reporting the last
@@ -147,7 +166,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         timings[name] = round(dt, 3)
         cpu_ctx[name] = f"busy={busy:.1f}s steal={steal:.1f}s" + (
             f" tries={[round(t[0], 2) for t in tries]}" if len(tries) > 1 else ""
-        )
+        ) + (f" retry_waited={retry_waited:.0f}s" if retry_waited else "")
         return out
 
     # Pre-warm the Python worker pool: the first Arrow-UDF-bearing query in a
