@@ -1029,6 +1029,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(dbl(3) * 10000, 0).cast("int").alias("zcr_e4"),
         )
 
+    def sequence_packing(spark, sf):
+        """Training-data sequence packing (operators/packing.py): documents
+        laid out into fixed-token-budget bins, bucket-parallel (the
+        scale-correct form — a global window would funnel one task; here
+        every bucket is an independent window partition).  Pure Catalyst:
+        window cumsum + integer arithmetic, no UDFs.  The oracle replicates
+        the exact layout with the same window functions in DuckDB."""
+        from wordspell_spark.operators import packing as PK
+
+        docs = (
+            _t(spark, sf, "documents")
+            .select("doc_id", F.col("n_chars").alias("n_tokens"))
+        )
+        packed = PK.pack_sequences(docs, budget=5000, n_buckets=8)
+        return packed.select(
+            "doc_id",
+            "bucket",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.col("bin_id").cast("long").alias("bin_id"),
+            F.col("bin_pos").cast("int").alias("bin_pos"),
+        )
+
+    def dataset_split_counts(spark, sf):
+        """Deterministic train/val/test assignment (operators/packing.py):
+        Knuth multiplicative hash on doc_id, stable across re-runs,
+        repartitioning, and engines — the reproducibility randomSplit
+        cannot give.  Aggregated to per-split counts + token mass; the
+        oracle reproduces the hash arithmetic bit-exactly."""
+        from wordspell_spark.operators import packing as PK
+
+        docs = _t(spark, sf, "documents")
+        out = PK.deterministic_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        return out.groupBy("split").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+
     # ---------------- relational core (TPC-H-ish) ----------------
 
     def pricing_summary(spark, sf):
@@ -1228,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_stats": multimodal_frame_stats,
         "multimodal_video_frame_stats": multimodal_video_frame_stats,
         "image_phash_neardup": image_phash_neardup,
+        "sequence_packing": sequence_packing,
+        "dataset_split_counts": dataset_split_counts,
         "multimodal_audio_stats": multimodal_audio_stats,
         "audio_flac_stats": audio_flac_stats,
         "pricing_summary": pricing_summary,
@@ -1468,6 +1507,35 @@ from (
         "image_phash_neardup": """
 select cast(doc_id as bigint) as id_a, cast(doc_id + 1 as bigint) as id_b
 from documents where doc_id < 120 and doc_id % 3 = 0
+""",
+        "sequence_packing": """
+with d as (
+  select doc_id, cast(n_chars as bigint) as n_tokens,
+         cast(doc_id % 8 as int) as bucket
+  from documents
+), c as (
+  select doc_id, bucket,
+         coalesce(sum(n_tokens) over (partition by bucket order by doc_id
+                  rows between unbounded preceding and 1 preceding), 0) as cum_tokens
+  from d
+)
+select doc_id, bucket, cum_tokens,
+       cast(cum_tokens // 5000 as bigint) as bin_id,
+       cast(row_number() over (partition by bucket, cum_tokens // 5000
+            order by doc_id) - 1 as int) as bin_pos
+from c
+""",
+        "dataset_split_counts": """
+with h as (
+  select doc_id, n_chars,
+         (doc_id * 2654435761) % 4294967296 % 10000 as hv
+  from documents
+)
+select case when hv < 8000 then 'train'
+            when hv < 9000 then 'val' else 'test' end as split,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars
+from h group by 1
 """,
         "multimodal_audio_stats": """
 select doc_id,
