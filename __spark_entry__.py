@@ -885,18 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         @F.pandas_udf("binary")
         def png_udf(doc_id: pd.Series) -> pd.Series:
-            D = MM._PHASH_DCT
-
-            def base_img(seed, h=40, w=48):
-                rng = np.random.default_rng(seed)
-                c = np.zeros((32, 32))
-                c[:8, :8] = rng.uniform(-1, 1, (8, 8)) * 400
-                c[0, 0] = 4000
-                img32 = np.clip(D.T @ c @ D, 0, 255).astype(np.uint8)
-                ri = np.round(np.linspace(0, 31, h)).astype(int)
-                ci = np.round(np.linspace(0, 31, w)).astype(int)
-                return img32[np.ix_(ri, ci)]
-
+            base_img = MM.phash_test_pattern  # the oracle's separation
+            # margins are proven against exactly this generator
             out = []
             for d in doc_id:
                 d = int(d)
@@ -1528,7 +1518,7 @@ from c
         "dataset_split_counts": """
 with h as (
   select doc_id, n_chars,
-         (doc_id * 2654435761) % 4294967296 % 10000 as hv
+         ((doc_id % 2147483648) * 2654435761) % 2147483648 % 10000 as hv
   from documents
 )
 select case when hv < 8000 then 'train'

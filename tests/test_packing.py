@@ -72,9 +72,20 @@ class TestDeterministicSplit:
         out = {r["doc_id"]: r["split"] for r in
                P.deterministic_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
         for i in toks:
-            h = (i * P.KNUTH_MULT) % (2**32) % 10000
+            h = ((i % 2**31) * P.KNUTH_MULT) % (2**31) % 10000
             want = "train" if h < 8000 else "val" if h < 9000 else "test"
             assert out[i] == want, (i, h)
+
+    def test_no_int64_overflow_at_huge_ids(self, spark):
+        # ids past 2^33: a raw id*mult would wrap int64 — the pre-reduction
+        # must keep the arithmetic exact and the python oracle must agree
+        ids = [2**33 + 7, 2**40 + 123, 2**62 - 1]
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        out = {r["doc_id"]: r["split"] for r in
+               P.deterministic_split(df, {"train": 0.5, "val": 0.5}).collect()}
+        for i in ids:
+            h = ((i % 2**31) * P.KNUTH_MULT) % (2**31) % 10000
+            assert out[i] == ("train" if h < 5000 else "val"), (i, h)
 
     def test_stable_across_runs_and_repartition(self, docs):
         df, _ = docs

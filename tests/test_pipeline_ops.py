@@ -1040,16 +1040,11 @@ class TestImagePhash:
 
     @staticmethod
     def _base_img(seed, h=40, w=48):
-        from wordspell_spark.operators.multimodal import _PHASH_DCT as D
+        # the SAME generator the image_phash_neardup oracle uses — one
+        # source of truth for the Hamming separation margins
+        from wordspell_spark.operators.multimodal import phash_test_pattern
 
-        rng = np.random.default_rng(seed)
-        c = np.zeros((32, 32))
-        c[:8, :8] = rng.uniform(-1, 1, (8, 8)) * 400
-        c[0, 0] = 4000
-        img32 = np.clip(D.T @ c @ D, 0, 255).astype(np.uint8)
-        ri = np.round(np.linspace(0, 31, h)).astype(int)
-        ci = np.round(np.linspace(0, 31, w)).astype(int)
-        return img32[np.ix_(ri, ci)]
+        return phash_test_pattern(seed, h, w)
 
     def test_phash_robust_to_perturbation_and_container(self):
         from wordspell_spark.operators.jpeg import make_jpeg

@@ -149,8 +149,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int] | None:
             return None
         if is_float:
             f = np.frombuffer(data[: n * block], dtype="<f4").reshape(n, ch)
+            # NaN/inf glitches (real DAW exports have them) quantize to 0 /
+            # full scale instead of the undefined NaN→int cast
+            f = np.nan_to_num(f.astype(np.float64), nan=0.0, posinf=1.0, neginf=-1.0)
             s = np.clip(
-                np.rint(f.astype(np.float64) * 2147483648.0), -(2**31), 2**31 - 1
+                np.rint(f * 2147483648.0), -(2**31), 2**31 - 1
             ).astype(np.int32)
             return s, int(rate), 32
         dt = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]

@@ -532,6 +532,59 @@ def simhash32_df(
     return docs.select(F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("sh"))
 
 
+def banded_hamming_pairs(
+    base: DataFrame,
+    bits: int,
+    max_hamming: int,
+    n_bands: int,
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Near-dup pairs among ``bits``-wide fingerprints with Hamming distance
+    ≤ ``max_hamming`` — the ONE banded plan shared by simhash text dedup
+    and pHash image dedup (``multimodal.fingerprint_pairs``).
+
+    Pigeonhole banding: with n_bands > max_hamming, any in-budget pair
+    agrees exactly on ≥1 band, so the self-join runs on (band_idx,
+    band_bits) buckets, never all-pairs.  The fingerprint rides through
+    the band join (one long, the same width as the id), so the exact
+    ``bit_count(xor)`` distance filters candidates IN the join stage,
+    before any further shuffle: the distinct then dedups only true
+    near-pairs (≤ n_bands copies each) instead of the full candidate
+    blow-up, and no re-attach join is needed.  (The ids-only-distinct +
+    re-attach form shuffled every band collision and joined base back
+    twice — measured ~2x the CPU and ~2.5x the wall on collision-heavy
+    inputs.)  ``shiftrightunsigned`` keeps 64-bit fingerprints stored as
+    signed longs band-stable; for non-negative values it equals
+    ``shiftright``.  The caller owns persisting ``base`` and registering
+    caches."""
+    assert n_bands > max_hamming, "pigeonhole requires n_bands > max_hamming"
+    assert bits % n_bands == 0
+    w = bits // n_bands
+    bands = base.select(
+        "id",
+        F.col(fp_col).alias("__fp"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(fp_col), b * w).bitwiseAND(F.lit((1 << w) - 1))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    a = bands.select(F.col("id").alias("id_a"), F.col("__fp").alias("fp_a"), "band_idx", "band_bits")
+    b = bands.select(F.col("id").alias("id_b"), F.col("__fp").alias("fp_b"), "band_idx", "band_bits")
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -547,41 +600,10 @@ def simhash_pairs(
     (band_idx, band_bits) buckets, never all-pairs.  Exact distance is then
     verified with bit_count(xor) on the candidates only.
     """
-    assert n_bands > max_hamming, "pigeonhole requires n_bands > max_hamming"
-    assert SIMHASH_BITS % n_bands == 0
-    w = SIMHASH_BITS // n_bands
-    # persist: the (id, simhash) relation feeds both sides of the band join
+    # persist: the (id, simhash) relation feeds both sides of the band join;
+    # the plan itself (in-join bit_count filter, no re-attach) lives in
+    # banded_hamming_pairs, shared with pHash image dedup
     base = simhash32_df(docs, text_col, id_col, hash_mode).persist()
-    bands = base.select(
-        "id",
-        "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sh"), b * w).bitwiseAND(F.lit((1 << w) - 1))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_idx", "band_bits"),
-    )
-    a = bands.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_bits")
-    b = bands.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_bits")
-    # sh rides through the band join (one long — the same width as the id),
-    # so the exact bit_count(xor) distance filters candidates IN the join
-    # stage, before any further shuffle: the distinct then dedups only the
-    # true near-pairs that collided in several bands (≤ n_bands copies each)
-    # instead of the full candidate blow-up, and no re-attach join is
-    # needed.  (The earlier ids-only-distinct + re-attach form shuffled
-    # every band collision and joined base back twice — measured ~2x the
-    # CPU and ~2.5x the wall of this plan on band-collision-heavy inputs.)
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    pairs = (
-        a.join(b, ["band_idx", "band_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
-    )
+    pairs = banded_hamming_pairs(base, SIMHASH_BITS, max_hamming, n_bands, fp_col="sh")
     _register_owned_cache(pairs, base)
     return pairs

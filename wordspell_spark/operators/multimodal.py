@@ -436,10 +436,10 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray | None:
         while i + 1 < len(payload):
             cnt, val = payload[i], payload[i + 1]
             i += 2
-            if cnt:  # encoded run
+            if cnt:  # encoded run (clamped: malformed deltas can put x > w)
                 if y >= h:
                     return None
-                run = min(cnt, w - x)
+                run = max(0, min(cnt, w - x))
                 grid[y, x : x + run] = val
                 x += run
             elif val == 0:  # end of line
@@ -454,12 +454,14 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray | None:
             else:  # absolute run of `val` raw indices, padded to even
                 if i + val > len(payload) or y >= h:
                     return None
-                run = min(val, w - x)
+                run = max(0, min(val, w - x))
                 grid[y, x : x + run] = np.frombuffer(
                     payload, dtype=np.uint8, count=run, offset=i
                 )
                 x += run
                 i += val + (val & 1)
+        if grid.max() >= len(palette):  # degrade, never crash
+            return None
         rows = grid
         if not top_down:
             rows = rows[::-1]
@@ -473,6 +475,8 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray | None:
     if not top_down:
         rows = rows[::-1]
     if bpp == 8:
+        if rows.max() >= len(palette):
+            return None  # index past biClrUsed: degrade, never crash
         return palette[rows]
     px = rows.reshape(h, w, bytes_pp)
     if bpp == 24:
@@ -992,6 +996,24 @@ def phash64(payload: bytes) -> int | None:
     return v
 
 
+def phash_test_pattern(seed: int, h: int = 40, w: int = 48) -> np.ndarray:
+    """Deterministic fixture image with explicit random LOW-FREQUENCY
+    structure: an 8x8 random coefficient block inverse-DCT'd to pixels, so
+    the pHash sign pattern is far from its decision boundary — near pairs
+    (± small pixel noise) land at Hamming ≤2, distinct seeds at ≥18.  The
+    one generator behind the image_phash_neardup oracle AND its pytest
+    twin (smooth analytic patterns collide: sign-of-coefficient hashes are
+    coarse)."""
+    rng = np.random.default_rng(seed)
+    c = np.zeros((32, 32))
+    c[:8, :8] = rng.uniform(-1, 1, (8, 8)) * 400
+    c[0, 0] = 4000  # bright DC anchor keeps pixels in range
+    img32 = np.clip(_PHASH_DCT.T @ c @ _PHASH_DCT, 0, 255).astype(np.uint8)
+    ri = np.round(np.linspace(0, 31, h)).astype(int)
+    ci = np.round(np.linspace(0, 31, w)).astype(int)
+    return img32[np.ix_(ri, ci)]
+
+
 def image_phash(
     binary_df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -1024,42 +1046,15 @@ def fingerprint_pairs(
     bits: int = PHASH_BITS,
     fp_col: str = "phash",
 ) -> DataFrame:
-    """Near-dup pairs among 64-bit fingerprints with Hamming ≤ max_hamming.
+    """Near-dup pairs among 64-bit fingerprints with Hamming ≤ max_hamming —
+    a thin wrapper over the ONE banded-Hamming plan shared with simhash
+    text dedup (``dedup.banded_hamming_pairs``: pigeonhole band join,
+    in-join ``bit_count(xor)`` filter, never all-pairs).  Scales as the
+    number of band-bucket collisions, not corpus²."""
+    from .dedup import _register_owned_cache, banded_hamming_pairs
 
-    The same pigeonhole banding plan as ``dedup.simhash_pairs`` (n_bands >
-    max_hamming ⇒ any in-budget pair agrees exactly on ≥1 band), with the
-    exact ``bit_count(xor)`` distance filtered inside the band-join stage —
-    never all-pairs, and the distinct dedups only true near-pairs.  Scales
-    as the number of band-bucket collisions, not corpus²."""
-    assert n_bands > max_hamming, "pigeonhole requires n_bands > max_hamming"
-    assert bits % n_bands == 0
-    w = bits // n_bands
     base = fp_df.select("id", F.col(fp_col).alias("fp")).persist()
-    bands = base.select(
-        "id",
-        "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("fp"), b * w).bitwiseAND(F.lit((1 << w) - 1))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_idx", "band_bits"),
-    )
-    a = bands.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "band_idx", "band_bits")
-    b = bands.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "band_idx", "band_bits")
-    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    pairs = (
-        a.join(b, ["band_idx", "band_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
-    )
-    from .dedup import _register_owned_cache
-
+    pairs = banded_hamming_pairs(base, bits, max_hamming, n_bands, fp_col="fp")
     _register_owned_cache(pairs, base)
     return pairs
 

@@ -78,18 +78,28 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
     fill_permille).  fill can exceed 1000 for the bin whose last doc
     straddles the boundary — that overflow is exactly the tail the
     tokenizer truncates or carries."""
-    return packed.groupBy("bucket", "bin_id").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        (F.sum("n_tokens") * 1000 / budget).cast("long").alias("fill_permille"),
+    return (
+        packed.groupBy("bucket", "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        # integer div, same exactness rule as pack_sequences: float
+        # division + cast would round past 2^53 token-permille
+        .withColumn("fill_permille", F.expr(f"(total_tokens * 1000) div {int(budget)}"))
     )
 
 
 def split_hash(id_col, mod: int = 10000):
-    """The split hash as a Column: Knuth multiplicative on the id, reduced
-    mod 2^32 then to [0, mod) — plain integer arithmetic, bit-identical in
-    any engine."""
-    return ((F.col(id_col) * F.lit(KNUTH_MULT)) % F.lit(2**32)) % F.lit(mod)
+    """The split hash as a Column: Knuth multiplicative on the id's low 31
+    bits, reduced mod 2^31 then to [0, mod) — plain integer arithmetic,
+    bit-identical in any engine.  The pre-reduction keeps the product
+    under 2^63 ((2^31-1) * 2654435761 ≈ 5.7e18), so the arithmetic never
+    overflows int64 at any id — a raw id*mult would wrap (Spark) or error
+    (DuckDB) past id ≈ 3.5e9, silently corrupting split assignment exactly
+    at large-corpus scale.  pmod keeps negative ids well-defined."""
+    low = F.pmod(F.col(id_col), F.lit(2**31))
+    return ((low * F.lit(KNUTH_MULT)) % F.lit(2**31)) % F.lit(mod)
 
 
 def deterministic_split(
