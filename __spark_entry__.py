@@ -1041,6 +1041,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("bin_pos").cast("int").alias("bin_pos"),
         )
 
+    def bpe_run_tokens(spark, sf):
+        """Distributed BPE tokenizer TRAINING, oracle-gated end to end
+        (operators/bpe.py).  The corpus is one run-word per doc,
+        'a'*(doc_id%32+32); with every length 32..63 present, the
+        most-frequent adjacent pair at each of 5 rounds is provably the
+        doubling pair, so training must learn exactly the chain
+        (a,a)->(aa,aa)->...->32-rune units — and greedy left-to-right
+        encoding of a^n against that chain is the binary decomposition:
+        n_tokens = 1 + popcount(n-32).  The oracle is pure arithmetic; ANY
+        deviation in pair counting, tie-breaking, merge application, or
+        encode order scrambles the counts.  (Real-text training parity is
+        pinned against a pure-python reference in tests/test_bpe.py.)"""
+        from wordspell_spark.operators import bpe as BP
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 128)
+        runs = docs.select(
+            "doc_id", F.expr("repeat('a', cast(doc_id % 32 + 32 as int))").alias("text")
+        )
+        merges = BP.train_bpe(runs, 5)
+        return BP.bpe_encode(runs, merges).select("doc_id", "n_tokens")
+
     def dataset_split_counts(spark, sf):
         """Deterministic train/val/test assignment (operators/packing.py):
         Knuth multiplicative hash on doc_id, stable across re-runs,
@@ -1256,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frame_stats": multimodal_video_frame_stats,
         "image_phash_neardup": image_phash_neardup,
         "sequence_packing": sequence_packing,
+        "bpe_run_tokens": bpe_run_tokens,
         "dataset_split_counts": dataset_split_counts,
         "multimodal_audio_stats": multimodal_audio_stats,
         "audio_flac_stats": audio_flac_stats,
@@ -1514,6 +1536,10 @@ select doc_id, bucket, cum_tokens,
        cast(row_number() over (partition by bucket, cum_tokens // 5000
             order by doc_id) - 1 as int) as bin_pos
 from c
+""",
+        "bpe_run_tokens": """
+select doc_id, cast(1 + bit_count(doc_id % 32) as bigint) as n_tokens
+from documents where doc_id < 128
 """,
         "dataset_split_counts": """
 with h as (

@@ -1,0 +1,131 @@
+"""Distributed BPE training: exact parity with a pure-python reference
+implementation (same Sennrich counting + tie-break), run-corpus arithmetic,
+early stop, encode/train consistency, plan discipline."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from wordspell_spark.operators import bpe as B
+
+
+def _py_train(word_counts: dict[str, int], n_merges: int, min_count: int = 2):
+    """Reference BPE: adjacent-pair counts incl. overlaps, merge applied
+    left-to-right non-overlapping, ties by (a asc, b asc)."""
+    table = {tuple(w.encode("utf-8")): c for w, c in word_counts.items()}
+    merges = []
+    for m in range(n_merges):
+        pairs = Counter()
+        for seq, c in table.items():
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (a, b), _ = best
+        new_id = 256 + m
+        merges.append((a, b, new_id))
+        table = {
+            tuple(B._merge_one(list(seq), a, b, new_id)): c for seq, c in table.items()
+        }
+    return merges
+
+
+def _py_encode(text: str, merges) -> list[int]:
+    out = []
+    for w in text.split():
+        seq = list(w.encode("utf-8"))
+        for a, b, n in merges:
+            seq = B._merge_one(seq, a, b, n)
+        out.extend(seq)
+    return out
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the bat and the cat chat",
+    "that hat on the cat is flat",
+    "matters of fact do not chatter",
+    "the the the cat cat mat",
+]
+
+
+class TestTrainParity:
+    def test_merge_sequence_matches_reference(self, spark):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                                   "doc_id long, text string")
+        got = B.train_bpe(df, 12, min_count=2)
+        wc = Counter(w for t in CORPUS for w in t.split())
+        want = _py_train(dict(wc), 12)
+        assert got == want and len(got) >= 8
+
+    def test_encodings_match_reference(self, spark):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                                   "doc_id long, text string")
+        merges = B.train_bpe(df, 10)
+        enc = {r["doc_id"]: list(r["tokens"]) for r in B.bpe_encode(df, merges).collect()}
+        for i, t in enumerate(CORPUS):
+            assert enc[i] == _py_encode(t, merges), i
+
+    def test_vocab_bytes_roundtrip(self, spark):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                                   "doc_id long, text string")
+        merges = B.train_bpe(df, 10)
+        vocab = B.vocab_bytes(merges)
+        row = B.bpe_encode(df, merges).filter("doc_id = 0").collect()[0]
+        text = b"".join(vocab[t] for t in row["tokens"]).decode("utf-8")
+        assert text == CORPUS[0].replace(" ", "")  # words concatenated
+
+    def test_early_stop_on_min_count(self, spark):
+        df = spark.createDataFrame([(0, "abcdefg hijklmn")], "doc_id long, text string")
+        merges = B.train_bpe(df, 50, min_count=2)
+        assert merges == []  # every pair occurs once
+
+    def test_empty_and_whitespace_docs(self, spark):
+        df = spark.createDataFrame([(0, "aa aa aa"), (1, "   "), (2, "")],
+                                   "doc_id long, text string")
+        merges = B.train_bpe(df, 1)
+        assert merges == [(97, 97, 256)]
+        out = {r["doc_id"]: r["n_tokens"] for r in B.bpe_encode(df, merges).collect()}
+        assert out == {0: 3, 1: 0, 2: 0}
+
+
+class TestRunCorpusArithmetic:
+    def test_doubling_chain_and_popcount_tokens(self, spark):
+        # words 'a'*(32..63): training must learn exactly the doubling chain,
+        # and greedy encoding of a^n is 1 + popcount(n - 32) tokens
+        rows = [(i, "a" * (i % 32 + 32)) for i in range(96)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = B.train_bpe(df, 5)
+        assert merges == [(97, 97, 256), (256, 256, 257), (257, 257, 258),
+                          (258, 258, 259), (259, 259, 260)]
+        out = {r["doc_id"]: r["n_tokens"] for r in B.bpe_encode(df, merges).collect()}
+        for i in range(96):
+            n = i % 32 + 32
+            assert out[i] == 1 + bin(n % 32).count("1"), (i, n)
+
+
+class TestScaleShape:
+    def test_pair_count_is_catalyst(self, spark):
+        # the per-iteration pair count must be pure Catalyst (map-side
+        # combined groupBy), not a Python aggregation
+        df = spark.createDataFrame([(0, "aa ab aa")], "doc_id long, text string")
+        words = B._word_table(df, "text")
+        from pyspark.sql import functions as F
+
+        plan = (
+            words.select(F.explode(F.expr(B._PAIRS_EXPR)).alias("p"), "count")
+            .groupBy("p.a", "p.b").agg(F.sum("count"))
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan
+        assert plan.count("ArrowEvalPython") <= 1  # only the word symbolizer
+
+    def test_bad_n_merges(self, spark):
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            B.train_bpe(df, -1)
