@@ -1062,6 +1062,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merges = BP.train_bpe(runs, 5)
         return BP.bpe_encode(runs, merges).select("doc_id", "n_tokens")
 
+    def doc_bigram_coherence(spark, sf):
+        """Corpus-conditioned quality scoring (operators/quality.py) — the
+        CCNet-style stage where each document is scored against an n-gram
+        model trained on the corpus itself.  Integer permille arithmetic
+        instead of log-space floats, so the DuckDB oracle reproduces the
+        score bit-exactly: Σ over adjacent pairs of
+        (1000 * corpus_count(a,b)) div corpus_count(a)."""
+        from wordspell_spark.operators import quality as Q
+
+        return Q.bigram_coherence(_t(spark, sf, "documents"))
+
     def dataset_split_counts(spark, sf):
         """Deterministic train/val/test assignment (operators/packing.py):
         Knuth multiplicative hash on doc_id, stable across re-runs,
@@ -1278,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": image_phash_neardup,
         "sequence_packing": sequence_packing,
         "bpe_run_tokens": bpe_run_tokens,
+        "doc_bigram_coherence": doc_bigram_coherence,
         "dataset_split_counts": dataset_split_counts,
         "multimodal_audio_stats": multimodal_audio_stats,
         "audio_flac_stats": audio_flac_stats,
@@ -1536,6 +1548,27 @@ select doc_id, bucket, cum_tokens,
        cast(row_number() over (partition by bucket, cum_tokens // 5000
             order by doc_id) - 1 as int) as bin_pos
 from c
+""",
+        "doc_bigram_coherence": f"""
+with {_TOKS_CTE},
+paired as (
+  select doc_id, word as a,
+         lead(word) over (partition by doc_id order by pos) as b
+  from toks
+),
+p as (select doc_id, a, b from paired where b is not null),
+uni as (select word as a, count(*) as c_a from toks group by 1),
+bi as (select a, b, count(*) as c_ab from p group by 1, 2),
+scored as (
+  select p.doc_id, (1000 * bi.c_ab) // uni.c_a as permille
+  from p join bi using (a, b) join uni using (a)
+)
+select d.doc_id,
+       cast(coalesce(s.n_pairs, 0) as bigint) as n_pairs,
+       cast(coalesce(s.coherence_sum, 0) as bigint) as coherence_sum
+from (select distinct doc_id from documents) d
+left join (select doc_id, count(*) as n_pairs, sum(permille) as coherence_sum
+           from scored group by 1) s using (doc_id)
 """,
         "bpe_run_tokens": """
 select doc_id, cast(1 + bit_count(doc_id % 32) as bigint) as n_tokens
