@@ -1073,6 +1073,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return Q.bigram_coherence(_t(spark, sf, "documents"))
 
+    def doc_repetition_stats(spark, sf):
+        """Gopher-style repetition signals (operators/quality.py): share of
+        duplicated segments and of the characters inside them, as integer
+        permille — boilerplate/template spam scores high.  The oracle
+        replicates the grouping and the integer division exactly."""
+        from wordspell_spark.operators import quality as Q
+
+        return Q.repetition_stats(_t(spark, sf, "documents"))
+
+    def pii_redaction(spark, sf):
+        """Contact-info scrubbing (operators/quality.py, the C4/Pile
+        cleaning stage): emails → <EMAIL>, IPv4 → <IP>, long digit runs →
+        <NUM>, applied in that order so nested matches are never
+        double-counted.  Both engines augment each doc with the same
+        synthetic PII derived from doc_id, then redact — the oracle
+        compares the redacted STRING and per-type counts, so the regex
+        semantics must agree byte-for-byte (patterns are chosen to parse
+        identically under Java regex and RE2)."""
+        from wordspell_spark.operators import quality as Q
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        aug = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("user"), F.col("doc_id"), F.lit("@example.com "),
+                F.col("text"),
+                F.lit(" 10.0."), F.col("doc_id") % 256, F.lit(".7 id 987654321"),
+            ).alias("text"),
+        )
+        return Q.redact_pii(aug)
+
     def dataset_split_counts(spark, sf):
         """Deterministic train/val/test assignment (operators/packing.py):
         Knuth multiplicative hash on doc_id, stable across re-runs,
@@ -1290,6 +1321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": sequence_packing,
         "bpe_run_tokens": bpe_run_tokens,
         "doc_bigram_coherence": doc_bigram_coherence,
+        "doc_repetition_stats": doc_repetition_stats,
+        "pii_redaction": pii_redaction,
         "dataset_split_counts": dataset_split_counts,
         "multimodal_audio_stats": multimodal_audio_stats,
         "audio_flac_stats": audio_flac_stats,
@@ -1569,6 +1602,57 @@ select d.doc_id,
 from (select distinct doc_id from documents) d
 left join (select doc_id, count(*) as n_pairs, sum(permille) as coherence_sum
            from scored group by 1) s using (doc_id)
+""",
+        "doc_repetition_stats": """
+with segs as (
+  select doc_id, seg
+  from documents, unnest(regexp_split_to_array(text, '\\s+')) as t(seg)
+  where length(seg) > 0
+),
+per_seg as (select doc_id, seg, count(*) as c from segs group by 1, 2),
+agg as (
+  select doc_id,
+         sum(c) as n_segments,
+         count(*) as n_distinct,
+         sum(c * length(seg)) as total_chars,
+         sum(length(seg)) as distinct_chars
+  from per_seg group by 1
+)
+select d.doc_id,
+       cast(coalesce(a.n_segments, 0) as bigint) as n_segments,
+       cast(coalesce(a.n_distinct, 0) as bigint) as n_distinct,
+       cast(coalesce((1000 * (a.n_segments - a.n_distinct)) // a.n_segments, 0) as bigint)
+         as dup_seg_permille,
+       cast(coalesce(case when a.total_chars = 0 then 0
+            else (1000 * (a.total_chars - a.distinct_chars)) // a.total_chars end, 0) as bigint)
+         as dup_char_permille
+from (select distinct doc_id from documents) d
+left join agg a using (doc_id)
+""",
+        "pii_redaction": """
+with aug as (
+  select doc_id,
+         'user' || doc_id || '@example.com ' || text ||
+         ' 10.0.' || (doc_id % 256) || '.7 id 987654321' as text
+  from documents where doc_id < 200
+),
+s1 as (
+  select doc_id,
+         cast(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint) as n_email,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') as t
+  from aug
+),
+s2 as (
+  select doc_id, n_email,
+         cast(length(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) as bigint) as n_ipv4,
+         regexp_replace(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') as t
+  from s1
+)
+select doc_id,
+       regexp_replace(t, '[0-9]{9,}', '<NUM>', 'g') as redacted,
+       n_email, n_ipv4,
+       cast(length(regexp_extract_all(t, '[0-9]{9,}')) as bigint) as n_longnum
+from s2
 """,
         "bpe_run_tokens": """
 select doc_id, cast(1 + bit_count(doc_id % 32) as bigint) as n_tokens

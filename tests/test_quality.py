@@ -70,3 +70,65 @@ class TestBigramCoherence:
         plan = Q.bigram_coherence(df)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
         assert "HashAggregate" in plan  # map-side combined count tables
+
+
+class TestRepetitionStats:
+    def test_matches_python_oracle(self, spark):
+        from collections import Counter
+
+        docs = [
+            (0, "spam spam spam spam buy now buy now"),
+            (1, "each word appears exactly once here"),
+            (2, "aa bb aa cc aa"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_segments"], r["n_distinct"],
+                             r["dup_seg_permille"], r["dup_char_permille"])
+               for r in Q.repetition_stats(df).collect()}
+        for i, t in docs:
+            segs = [w for w in t.split() if w]
+            c = Counter(segs)
+            n, d = len(segs), len(c)
+            tot = sum(len(s) * k for s, k in c.items())
+            dis = sum(len(s) for s in c)
+            want = (
+                n, d,
+                (1000 * (n - d)) // n if n else 0,
+                (1000 * (tot - dis)) // tot if tot else 0,
+            )
+            assert got[i] == want, (i, got[i], want)
+
+    def test_spam_outranks_prose(self, spark):
+        df = spark.createDataFrame(
+            [(0, "buy buy buy buy buy"), (1, "five distinct ordinary words here")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["dup_seg_permille"] for r in Q.repetition_stats(df).collect()}
+        assert got[0] == 800 and got[1] == 0
+
+
+class TestRedactPii:
+    def test_redaction_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(0, "mail me at bob.smith+x@foo-bar.org or 10.0.0.1 id 123456789"),
+             (1, "clean text, short num 12345"),
+             (2, "two mails a@b.io c@d.co and 192.168.1.1 255.255.255.255")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in Q.redact_pii(df).collect()}
+        assert rows[0]["redacted"] == "mail me at <EMAIL> or <IP> id <NUM>"
+        assert (rows[0]["n_email"], rows[0]["n_ipv4"], rows[0]["n_longnum"]) == (1, 1, 1)
+        assert rows[1]["redacted"] == "clean text, short num 12345"
+        assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_longnum"]) == (0, 0, 0)
+        assert rows[2]["n_email"] == 2 and rows[2]["n_ipv4"] == 2
+
+    def test_email_digits_not_double_counted(self, spark):
+        df = spark.createDataFrame([(0, "x123456789@example.com")], "doc_id long, text string")
+        r = Q.redact_pii(df).collect()[0]
+        # the digit run lives inside the email: redacted as <EMAIL>, and the
+        # longnum stage sees the placeholder, not the digits
+        assert r["redacted"] == "<EMAIL>" and r["n_email"] == 1 and r["n_longnum"] == 0
+
+    def test_plan_pure_catalyst(self, spark):
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = Q.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan

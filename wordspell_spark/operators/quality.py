@@ -71,3 +71,77 @@ def bigram_coherence(
             F.coalesce("coherence_sum", F.lit(0)).alias("coherence_sum"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\s+",
+) -> DataFrame:
+    """Gopher-style repetition signals: how much of the document is
+    duplicated segments (lines for newline-separated corpora, words with
+    the default whitespace separator).
+
+    (doc_id, n_segments, n_distinct, dup_seg_permille, dup_char_permille):
+    ``dup_seg_permille`` = share of segments that are repeats of an
+    earlier one; ``dup_char_permille`` = share of characters inside those
+    repeats (each distinct segment's first occurrence is 'original').
+    Integer permille, so any engine reproduces it exactly.  Boilerplate
+    and template spam score high; prose scores low."""
+    segs = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), sep)).alias("seg"),
+    ).filter(F.length("seg") > 0)
+    per_seg = segs.groupBy(id_col, "seg").agg(F.count("*").alias("c"))
+    agg = per_seg.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_segments"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.length("seg")).cast("long").alias("total_chars"),
+        F.sum(F.length("seg")).cast("long").alias("distinct_chars"),
+    )
+    out = agg.select(
+        id_col,
+        "n_segments",
+        "n_distinct",
+        F.expr("(1000 * (n_segments - n_distinct)) div n_segments").alias("dup_seg_permille"),
+        F.expr(
+            "CASE WHEN total_chars = 0 THEN 0 "
+            "ELSE (1000 * (total_chars - distinct_chars)) div total_chars END"
+        ).alias("dup_char_permille"),
+    )
+    all_ids = docs.select(id_col).distinct()
+    return all_ids.join(out, id_col, "left").select(
+        id_col,
+        *[
+            F.coalesce(c, F.lit(0)).alias(c)
+            for c in ("n_segments", "n_distinct", "dup_seg_permille", "dup_char_permille")
+        ],
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): plain character classes, no backrefs or lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("longnum", r"[0-9]{9,}", "<NUM>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Contact-info scrubbing (the C4/Pile-style cleaning stage): emails,
+    IPv4 addresses and long digit runs replaced by typed placeholder
+    tokens, applied in that order so an address inside an email is
+    redacted as the email.  Returns (doc_id, redacted, n_email, n_ipv4,
+    n_longnum) — counts come from the text as seen by each stage, so a
+    run is never double-counted.  Pure Catalyst regexp ops (engine-
+    portable by construction of the patterns)."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return docs.select(F.col(id_col), cur.alias("redacted"), *counts)
