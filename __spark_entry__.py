@@ -1073,6 +1073,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return Q.bigram_coherence(_t(spark, sf, "documents"))
 
+    def decontamination_report(spark, sf):
+        """Benchmark decontamination (dedup.contamination_hits): per
+        training doc, how many of its distinct 5-grams appear anywhere in
+        the 'eval set' (here: every 97th doc of the same corpus, so exact
+        leaks and near-dups of eval items must light up).  The eval
+        shingle table broadcasts (benchmarks are small by nature); the
+        corpus side is one explode + broadcast join + map-side-combined
+        groupBy — corpus rows never shuffle on the shingle key."""
+        from wordspell_spark.operators import dedup as D
+
+        docs = _t(spark, sf, "documents")
+        eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+        return D.contamination_hits(docs, eval_docs, n=5)
+
     def doc_repetition_stats(spark, sf):
         """Gopher-style repetition signals (operators/quality.py): share of
         duplicated segments and of the characters inside them, as integer
@@ -1321,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": sequence_packing,
         "bpe_run_tokens": bpe_run_tokens,
         "doc_bigram_coherence": doc_bigram_coherence,
+        "decontamination_report": decontamination_report,
         "doc_repetition_stats": doc_repetition_stats,
         "pii_redaction": pii_redaction,
         "dataset_split_counts": dataset_split_counts,
@@ -1602,6 +1617,21 @@ select d.doc_id,
 from (select distinct doc_id from documents) d
 left join (select doc_id, count(*) as n_pairs, sum(permille) as coherence_sum
            from scored group by 1) s using (doc_id)
+""",
+        "decontamination_report": f"""
+with d as (
+  select doc_id,
+         list_sort(list_distinct(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) as sh
+  from (select doc_id, {_WS_WORDS.format(t='text')} as w from documents)
+),
+ev as (select distinct seg from d, unnest(d.sh) as t(seg) where doc_id % 97 = 0),
+tr as (select doc_id, seg from d, unnest(d.sh) as t(seg)),
+hits as (select doc_id, count(*) as n_hits from tr join ev using (seg) group by 1)
+select d.doc_id,
+       cast(len(d.sh) as bigint) as n_shingles,
+       cast(coalesce(h.n_hits, 0) as bigint) as n_hits
+from d left join hits h using (doc_id)
 """,
         "doc_repetition_stats": """
 with segs as (

@@ -1213,3 +1213,34 @@ class TestContainerVariants:
         bad = bytearray(make_bmp(np.zeros((4, 4), np.uint8)))
         bad[30] = 1  # BI_RLE8 flag on a 24-bit image: spec-invalid
         assert decode_bmp_pixels(bytes(bad)) is None
+
+
+class TestDecontamination:
+    """Benchmark decontamination (r4): n-gram hits against an eval set."""
+
+    def test_leaks_detected_exactly(self, spark):
+        from wordspell_spark.operators.dedup import contamination_hits
+
+        train = [
+            (0, "alpha beta gamma delta epsilon zeta"),       # exact eval leak
+            (1, "alpha beta gamma delta epsilon DIFFERENT"),  # shares one 5-gram
+            (2, "totally unrelated words about nothing here"),
+            (3, "tiny"),                                       # no shingles
+        ]
+        evals = [(100, "alpha beta gamma delta epsilon zeta")]
+        tdf = spark.createDataFrame(train, "doc_id long, text string")
+        edf = spark.createDataFrame(evals, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_shingles"], r["n_hits"])
+               for r in contamination_hits(tdf, edf, n=5).collect()}
+        assert got[0] == (2, 2)   # both 5-grams of the leaked doc hit
+        assert got[1] == (2, 1)   # the shared prefix 5-gram hits
+        assert got[2] == (2, 0)
+        assert got[3] == (0, 0)   # short doc present, zero shingles
+
+    def test_plan_broadcasts_eval_side(self, spark):
+        from wordspell_spark.operators.dedup import contamination_hits
+
+        tdf = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
+        edf = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        plan = contamination_hits(tdf, edf, n=5)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # eval shingles never shuffle the corpus

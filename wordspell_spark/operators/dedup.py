@@ -607,3 +607,45 @@ def simhash_pairs(
     pairs = banded_hamming_pairs(base, SIMHASH_BITS, max_hamming, n_bands, fp_col="sh")
     _register_owned_cache(pairs, base)
     return pairs
+
+
+def contamination_hits(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share word
+    n-grams with an evaluation set (the standard pre-training hygiene
+    step — eval items leaking into training data inflate benchmarks).
+
+    Returns (doc_id, n_shingles, n_hits): ``n_hits`` = how many of the
+    doc's DISTINCT n-grams appear anywhere in the eval set; callers drop
+    or down-weight docs with n_hits > 0 (or a fraction threshold).  Every
+    doc stays present (0 hits included), so the output is a full
+    decontamination report, not just the offenders.
+
+    Scale shape: eval sets are small by nature (benchmarks), so their
+    distinct-shingle table broadcasts; the training side is one explode +
+    broadcast-hash-join + map-side-combined groupBy — corpus rows never
+    shuffle on the shingle key."""
+    train_sh = docs.select(
+        F.col(id_col), F.explode(shingles_of(F.col(text_col), n)).alias("sh")
+    )
+    eval_sh = (
+        eval_docs.select(F.explode(shingles_of(F.col(eval_text_col), n)).alias("sh"))
+        .distinct()
+    )
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))  # shingles_of is distinct
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(shingles_of(F.col(text_col), n)).cast("long").alias("n_shingles")
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col, "n_shingles", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
+    )
