@@ -129,3 +129,29 @@ class TestScaleShape:
         df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             B.train_bpe(df, -1)
+
+
+class TestEncodeEdgeCases:
+    def test_null_text_and_unicode_separators(self, spark):
+        # NULL text → zero tokens; NBSP is NOT a separator under the
+        # ASCII-\s convention training uses (the bytes stay inside the word)
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="aa aa"), Row(doc_id=1, text=None),
+             Row(doc_id=2, text="aa\u00a0aa")],
+            "doc_id long, text string")
+        merges = B.train_bpe(df, 1)
+        assert merges == [(97, 97, 256)]
+        out = {r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+               for r in B.bpe_encode(df, merges).collect()}
+        assert out[0] == (2, [256, 256])
+        assert out[1] == (0, [])
+        # 'aa<nbsp>aa' is ONE word: 256, 0xC2, 0xA0, 256 — separator bytes kept
+        assert out[2] == (4, [256, 0xC2, 0xA0, 256])
+
+    def test_id_col_name_and_type_preserved(self, spark):
+        df = spark.createDataFrame([("p1", "aa aa")], "page_id string, text string")
+        merges = [(97, 97, 256)]
+        out = B.bpe_encode(df, merges, id_col="page_id").collect()[0]
+        assert out["page_id"] == "p1" and out["n_tokens"] == 2

@@ -29,6 +29,7 @@ extension surface, following the original Sennrich BPE formulation
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -131,24 +132,36 @@ def train_bpe(
     return merges
 
 
+_ASCII_WS = re.compile(r"\s+", re.ASCII)  # Java regex \s is ASCII-only
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[int, int, int]],
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Apply a learned merge list: (doc_id, tokens array<int>, n_tokens).
+    """Apply a learned merge list: (id, tokens array<int>, n_tokens).
 
-    Merges are applied per word in learned order — exactly the training
-    symbolization, so ``encode(train_corpus)`` reproduces the final word
-    table.  Row-local mapInPandas; the merge list ships in the closure
-    (KBs)."""
+    Word splitting is the SAME convention training uses — Java-regex
+    ``\\s+`` is ASCII-only, so the python twin splits with ``re.ASCII``
+    (a Unicode ``str.split`` would swallow NBSP/U+2028-style separator
+    bytes that training kept inside words).  Merges are applied per word
+    in learned order — exactly the training symbolization, so
+    ``encode(train_corpus)`` reproduces the final word table.  NULL text
+    encodes to zero tokens.  Row-local mapInPandas; the merge list ships
+    in the closure (KBs)."""
     mseq = [(int(a), int(b), int(n)) for a, b, n in merges]
+    id_type = docs.schema[id_col].dataType
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def enc(text: str) -> list[int]:
+        def enc(text) -> list[int]:
+            if text is None:
+                return []
             out: list[int] = []
-            for w in text.split():
+            for w in _ASCII_WS.split(text):
+                if not w:
+                    continue
                 seq = list(w.encode("utf-8"))
                 for a, b, n in mseq:
                     if len(seq) < 2:
@@ -161,7 +174,7 @@ def bpe_encode(
             toks = pdf[text_col].map(enc)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "tokens": toks,
                     "n_tokens": toks.map(len).astype("int64"),
                 }
@@ -169,7 +182,7 @@ def bpe_encode(
 
     schema = StructType(
         [
-            StructField("doc_id", LongType()),
+            StructField(id_col, id_type),
             StructField("tokens", ArrayType(IntegerType())),
             StructField("n_tokens", LongType()),
         ]

@@ -628,24 +628,28 @@ def contamination_hits(
     decontamination report, not just the offenders.
 
     Scale shape: eval sets are small by nature (benchmarks), so their
-    distinct-shingle table broadcasts; the training side is one explode +
-    broadcast-hash-join + map-side-combined groupBy — corpus rows never
-    shuffle on the shingle key."""
-    train_sh = docs.select(
-        F.col(id_col), F.explode(shingles_of(F.col(text_col), n)).alias("sh")
-    )
+    distinct-shingle table broadcasts; the training side is ONE pass —
+    the interpreted-HOF shingle pipeline (the dominant cost, see the
+    hot-path note above) runs once per doc, then explode_outer +
+    broadcast left join + map-side-combined groupBy.  Corpus rows never
+    shuffle on the shingle key, and zero-shingle docs survive the
+    explode."""
     eval_sh = (
         eval_docs.select(F.explode(shingles_of(F.col(eval_text_col), n)).alias("sh"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    hits = (
-        train_sh.join(F.broadcast(eval_sh), "sh")
+    base = docs.select(F.col(id_col), shingles_of(F.col(text_col), n).alias("sh_arr"))
+    exploded = base.select(
+        id_col,
+        F.size("sh_arr").cast("long").alias("n_shingles"),
+        F.explode_outer("sh_arr").alias("sh"),
+    )
+    return (
+        exploded.join(F.broadcast(eval_sh), "sh", "left")
         .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_hits"))  # shingles_of is distinct
-    )
-    totals = docs.select(
-        F.col(id_col), F.size(shingles_of(F.col(text_col), n)).cast("long").alias("n_shingles")
-    )
-    return totals.join(hits, id_col, "left").select(
-        id_col, "n_shingles", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
     )

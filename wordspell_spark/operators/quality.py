@@ -43,12 +43,18 @@ def bigram_coherence(
     the module docstring; callers threshold on ``coherence_sum div
     n_pairs`` (mean conditional probability) or on the sum directly.
     Docs with fewer than 2 tokens get (0, 0) — present, never dropped."""
-    words = IB.tokenized_words(docs, text_col, [id_col])
+    from .dedup import _register_owned_cache
+
+    # the tokenize pipeline (normalize HOFs) is the dominant cost and feeds
+    # three subplans (unigram table, bigram table, scored pair stream) —
+    # persist it, and the pair stream it derives, so each runs ONCE
+    words = IB.tokenized_words(docs, text_col, [id_col]).persist()
     w = Window.partitionBy(id_col).orderBy("pos")
     pairs = (
         words.withColumn("next_word", F.lead("word").over(w))
         .filter(F.col("next_word").isNotNull())
         .select(id_col, F.col("word").alias("a"), F.col("next_word").alias("b"))
+        .persist()
     )
     uni = words.groupBy(F.col("word").alias("a")).agg(F.count("*").alias("c_a"))
     bi = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
@@ -63,7 +69,7 @@ def bigram_coherence(
     )
     # docs without a single pair still appear, scored (0, 0)
     all_ids = docs.select(id_col).distinct()
-    return (
+    out = (
         all_ids.join(per_doc, id_col, "left")
         .select(
             id_col,
@@ -71,6 +77,8 @@ def bigram_coherence(
             F.coalesce("coherence_sum", F.lit(0)).alias("coherence_sum"),
         )
     )
+    _register_owned_cache(out, words, pairs)
+    return out
 
 
 def repetition_stats(
