@@ -1591,7 +1591,7 @@ with d as (
                   rows between unbounded preceding and 1 preceding), 0) as cum_tokens
   from d
 )
-select doc_id, bucket, cum_tokens,
+select doc_id, bucket, cast(cum_tokens as bigint) as cum_tokens,
        cast(cum_tokens // 5000 as bigint) as bin_id,
        cast(row_number() over (partition by bucket, cum_tokens // 5000
             order by doc_id) - 1 as int) as bin_pos

@@ -31,7 +31,21 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     for c in sdf.columns:
         ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
         if ks != ko:
-            print(f"     ⚠ dtype {name}.{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+            # The driver hashes RENDERED values, so int64 123 vs float64
+            # 123.0 is a hash mismatch even when numerically equal
+            # (r4 `sequence_packing` bug: DuckDB window sum(BIGINT) is
+            # HUGEINT -> pandas float64).  An integer-vs-float kind flip
+            # is therefore a hard FAIL here, mirroring the gate.
+            int_kinds = {"i", "u"}
+            if (ks in int_kinds and ko == "f") or (ko in int_kinds and ks == "f"):
+                errs.append(
+                    f"dtype {c}: spark={sdf[c].dtype} oracle={odf[c].dtype} "
+                    f"(int-vs-float renders differently; cast the oracle)"
+                )
+            else:
+                print(f"     ⚠ dtype {name}.{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+    if errs:
+        return errs
     if len(sdf) != len(odf):
         errs.append(f"row count differ: spark={len(sdf)} oracle={len(odf)}")
     s, o = canon(sdf), canon(odf)
