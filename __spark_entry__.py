@@ -1642,7 +1642,7 @@ from d left join hits h using (doc_id)
         "doc_repetition_stats": """
 with segs as (
   select doc_id, seg
-  from documents, unnest(regexp_split_to_array(text, '\\s+')) as t(seg)
+  from documents, unnest(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')) as t(seg)
   where length(seg) > 0
 ),
 per_seg as (select doc_id, seg, count(*) as c from segs group by 1, 2),

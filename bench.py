@@ -58,6 +58,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     from wordspell_spark.harness import build_sketches, build_sketches_multi
     from wordspell_spark.operators import dedup as D
     from wordspell_spark.operators import index_build as IB
+    from wordspell_spark.operators import quality as Q
     from wordspell_spark.operators import similarity as SIM
     from wordspell_spark.operators.spell import build_deletion_bloom, correct_queries
     from wordspell_spark.sketches import SketchSpec
@@ -113,32 +114,52 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "q_simhash_dedup": 5.0 * _g,
         "q_simhash_dedup_fast": 2.5 * _g,
         "q_exact_dedup": 1.4 * _g,
+        # the two r5 twins are fixed-overhead-bound below sf0.1 (measured:
+        # sf0.01 local[8] costs MORE than sf0.1 local[32]) — never shrink
+        # their envelopes below the calibration point
+        "q_decontamination": 2.5 * max(_sf_ratio, 1.0),
+        "q_bigram_coherence": 3.5 * max(_sf_ratio, 1.0),
         "q_ann_lsh_topk": 1.6 * _g,
         "q_pricing_summary": 2.5 * _g,
         "q_events_sessions": 1.8 * _g,
     }
 
     def wait_quiet(max_s: float) -> float:
-        """Between retries, wait (bounded) for a co-tenant storm to pass:
-        re-running straight into the same storm just burns the retry.  A
-        1-s /proc/stat steal probe under 5% counts as quiet."""
+        """Between retries, wait (bounded) for a co-tenant storm to pass —
+        the same steal criterion as the pre-flight quiet-window gate:
+        re-running straight into the same storm just burns the retry.  Two
+        CONSECUTIVE 1-s /proc/stat steal probes under 5% count as quiet (a
+        single probe can land in a lull inside an ongoing storm — the r4
+        canonical record shipped a 4.4x-inflated entry exactly that way)."""
         waited = 0.0
-        while waited < max_s:
+        quiet_streak = 0
+        while waited < max_s and quiet_streak < 2:
             b0, s0 = cpu_jiffies()
             time.sleep(1.0)
             b1, s1 = cpu_jiffies()
+            waited += 1.0
             tot = (b1 - b0) + (s1 - s0)
             if tot <= 0 or (s1 - s0) / tot < 0.05:
-                break
-            time.sleep(2.0)
-            waited += 3.0
+                quiet_streak += 1
+            else:
+                quiet_streak = 0
+                time.sleep(2.0)
+                waited += 2.0
         return waited
 
     def run(name: str, fn, *, max_tries: int = 3):
+        # Quiet-wait budgets ESCALATE between retries (r4 lesson: a fixed
+        # 45-s backoff gave up inside a 90-s storm and the canonical record
+        # shipped the storm-inflated number), and one extra post-storm
+        # attempt is granted beyond max_tries when steal was observed — a
+        # quiet-but-slow result is the engine's fault and retries stop.
+        budgets = [45.0, 150.0, 240.0]
         tries = []
         out = None
         retry_waited = 0.0
-        for attempt in range(max_tries):
+        attempt = 0
+        limit = max_tries
+        while attempt < limit:
             b0, s0 = cpu_jiffies()
             t0 = time.time()
             out = fn()
@@ -150,23 +171,35 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
             slow = name in guards and dt > guards[name]
             if not (noisy or slow):
                 break
-            if noisy and attempt + 1 < max_tries:
-                retry_waited += wait_quiet(45.0)
+            if (
+                limit == max_tries
+                and attempt == limit - 1
+                and any(t[2] > 0.5 for t in tries)
+            ):
+                limit += 1  # the single post-storm re-measure
+            if attempt + 1 < limit:
+                retry_waited += wait_quiet(budgets[min(attempt, len(budgets) - 1)])
+            attempt += 1
         # report the BEST try: every try re-executes the full lineage cold,
         # so under additive co-tenant noise the minimum wall is the least
         # contaminated measurement of the same work.  (Reporting the last
         # try punished queries whose clean first run preceded a noise storm
         # that then polluted every retry.)  All tries stay disclosed, and
-        # the MEDIAN try is reported alongside (extra.queries_median) so
+        # the QUIET-median try (median over tries with ~zero steal, falling
+        # back to all tries when a storm covered every attempt — disclosed
+        # via quiet_tries) is reported alongside (extra.queries_median) so
         # round-over-round comparisons have a stable statistic that never
         # mixes single-try and best-of-try numbers.
         dt, busy, steal = min(tries, key=lambda t: t[0])
-        walls = sorted(t[0] for t in tries)
+        quiet = [t for t in tries if t[2] <= 0.05 * max(t[1], 0.1) + 0.1]
+        walls = sorted(t[0] for t in (quiet or tries))
         medians[name] = round(walls[len(walls) // 2], 3)
         timings[name] = round(dt, 3)
         cpu_ctx[name] = f"busy={busy:.1f}s steal={steal:.1f}s" + (
             f" tries={[round(t[0], 2) for t in tries]}" if len(tries) > 1 else ""
-        ) + (f" retry_waited={retry_waited:.0f}s" if retry_waited else "")
+        ) + (f" retry_waited={retry_waited:.0f}s" if retry_waited else "") + (
+            f" quiet_tries={len(quiet)}/{len(tries)}" if len(tries) > 1 else ""
+        )
         return out
 
     # Pre-warm the Python worker pool: the first Arrow-UDF-bearing query in a
@@ -207,6 +240,11 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
             _wdf = _builder(_wdocs, hash_mode=_mode)
             _wdf.count()
             D.release_caches(_wdf)
+    for _impl in ("arrow", "expr"):  # r5 fast-twin closures
+        D.contamination_hits(_wdocs, _wdocs.limit(10), n=5, impl=_impl).count()
+        _wbc = Q.bigram_coherence(_wdocs, impl=_impl)
+        _wbc.count()
+        D.release_caches(_wbc)
     _widx = IB.build_frequency_index(_wdocs, "text", ["doc_id"], thresholds={"ru": 2, "en": 2})
     _wpay = build_deletion_bloom(_widx, fpr=0.01)
     correct_queries(
@@ -394,6 +432,41 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     extra["simhash_md5_vs_fast_busy_cpu"] = f"{_busy('q_simhash_dedup')}s vs {_busy('q_simhash_dedup_fast')}s"
     extra["minhash_md5_vs_fast_busy_cpu"] = f"{_busy('q_minhash_lsh_dedup')}s vs {_busy('q_minhash_lsh_dedup_fast')}s"
     run("q_exact_dedup", lambda: D.exact_dedup(docs).count())
+
+    # -- r5 fast-twin headliners: decontamination + corpus bigram coherence
+    # (arrow impls — the production path; the pure-Catalyst expr reference
+    # impls are measured once each, untimed, for the busy-CPU A/B record)
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    run("q_decontamination", lambda: D.contamination_hits(docs, eval_docs, n=5).count())
+
+    def _coherence_count(impl: str) -> int:
+        df = Q.bigram_coherence(docs, impl=impl)
+        n = df.count()
+        D.release_caches(df)
+        return n
+
+    run("q_bigram_coherence", lambda: _coherence_count("arrow"))
+
+    def _expr_busy(fn) -> tuple[float, float]:
+        b0, _ = cpu_jiffies()
+        t0 = time.time()
+        fn()
+        b1, _ = cpu_jiffies()
+        return time.time() - t0, (b1 - b0) / 100.0
+
+    _dec_w, _dec_b = _expr_busy(
+        lambda: D.contamination_hits(docs, eval_docs, n=5, impl="expr").count()
+    )
+    _coh_w, _coh_b = _expr_busy(lambda: _coherence_count("expr"))
+    extra["decontamination_expr_vs_arrow"] = (
+        f"expr wall={_dec_w:.2f}s busy={_dec_b:.1f}s vs arrow "
+        f"wall={timings['q_decontamination']}s busy={_busy('q_decontamination')}s"
+    )
+    extra["bigram_coherence_expr_vs_arrow"] = (
+        f"expr wall={_coh_w:.2f}s busy={_coh_b:.1f}s vs arrow "
+        f"wall={timings['q_bigram_coherence']}s busy={_busy('q_bigram_coherence')}s"
+    )
+
     # release the text-path caches before the embedding phase: accumulated
     # storage + old shuffle blocks otherwise tax the late queries with GC
     qdf.unpersist(blocking=True)

@@ -117,6 +117,21 @@ class TestCompressedHeaders:
         stereo_v2 = bytes([0xFF, 0xF3, 0x94, 0x00])  # MPEG2, 24kHz, stereo
         assert A.decode_audio_header(stereo_v2) == (24000, 2, -1, -1, "mp3")
 
+    def test_mp3_id3_footer_and_padding(self):
+        # ID3v2.4 footer flag (0x10): the first frame starts 10 bytes past
+        # the computed tag end (r5 fix — it previously degraded to the
+        # md5-fake tier); and tags padded past their declared size are
+        # recovered by the bounded sync scan
+        frame = bytes([0xFF, 0xFB, 0x90, 0xC0])
+        footered = b"ID3" + bytes([4, 0, 0x10, 0, 0, 0, 10]) + bytes(10) + bytes(10) + frame
+        assert A.decode_audio_header(footered) == (44100, 1, -1, -1, "mp3")
+        padded = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + bytes(10) + bytes(37) + frame
+        assert A.decode_audio_header(padded) == (44100, 1, -1, -1, "mp3")
+        # but untagged payloads still require the sync at byte 0 — garbage
+        # with an embedded 0xFFE must NOT alias as mp3
+        garbage = bytes(64) + frame
+        assert A.decode_audio_header(garbage) is None
+
     def test_mp3_v25_and_reserved_version(self):
         # MPEG2.5 uses its own rate table (half of V2), and the reserved
         # version code 0b01 is not a valid frame at all

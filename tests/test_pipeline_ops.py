@@ -751,6 +751,22 @@ class TestJpegPath:
         rgb = np.repeat(st[:, :, None], 3, axis=2)
         assert (decode_jpeg_pixels(make_jpeg(rgb)) == rgb).all()
 
+    def test_extreme_coefficients_at_high_quality_clamp_not_crash(self):
+        # a max-amplitude checkerboard at quality 95+ drives |AC| past 1023,
+        # beyond the Annex-K AC table's size-10 ceiling — previously an
+        # uncaught KeyError out of make_jpeg (r4 ADVICE); now clamped
+        from wordspell_spark.operators.jpeg import decode_jpeg_pixels, make_jpeg
+
+        cb = np.where((np.arange(16)[:, None] + np.arange(16)[None, :]) % 2 == 0, 0, 255)
+        cb = cb.astype(np.uint8)
+        for q in (95, 98, 100):
+            for progressive in (False, True):
+                px = decode_jpeg_pixels(make_jpeg(cb, quality=q, progressive=progressive))
+                assert px.shape == (16, 16, 1)
+                # clamping costs amplitude but the structure must survive:
+                # bright cells stay brighter than dark cells on average
+                assert px[:, :, 0][cb == 255].mean() > px[:, :, 0][cb == 0].mean() + 64
+
     def test_random_images_near_lossless_at_q100(self):
         from wordspell_spark.operators.jpeg import decode_jpeg_pixels, make_jpeg
 
@@ -1242,5 +1258,12 @@ class TestDecontamination:
 
         tdf = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
         edf = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        # arrow default: the eval set broadcasts into the Python workers —
+        # one Arrow stage, no join, no shuffle of the corpus at all
         plan = contamination_hits(tdf, edf, n=5)._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan  # eval shingles never shuffle the corpus
+        assert "MapInPandas" in plan
+        assert "Join" not in plan and "Exchange" not in plan
+        # expr reference form: eval shingles broadcast-join, corpus rows
+        # never shuffle on the shingle key
+        plan = contamination_hits(tdf, edf, n=5, impl="expr")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan

@@ -232,3 +232,93 @@ class TestCacheRelease:
         assert any(c.storageLevel.useMemory for c in cached)
         release_caches(pairs)
         assert not getattr(pairs, "_owned_caches")
+
+
+class TestNormalizeTwin:
+    """r5: the normalize_words twin behind bigram_coherence(impl='arrow')."""
+
+    def test_fixture_docs(self, docs_df):
+        from wordspell_spark.functions.text import normalize_words, py_normalize_words
+
+        got = {
+            r["doc_id"]: r["w"]
+            for r in docs_df.select("doc_id", normalize_words(F.col("text")).alias("w")).collect()
+        }
+        for i, t in dict(DOCS).items():
+            assert got[i] == py_normalize_words(t), f"doc {i}"
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x4FF
+            ),
+            max_size=60,
+        )
+    )
+    def test_hypothesis_strings(self, spark, s):
+        # covers Cyrillic + Greek (final-sigma casing) + unicode whitespace +
+        # the -/`/' edge filters
+        from wordspell_spark.functions.text import normalize_words, py_normalize_words
+
+        df = spark.createDataFrame([(s,)], "text string")
+        got = df.select(normalize_words(F.col("text")).alias("w")).first()["w"]
+        assert got == py_normalize_words(s)
+
+    def test_on_corpus(self, corpus_df):
+        from wordspell_spark.functions.text import normalize_words, py_normalize_words
+
+        rows = corpus_df.select("doc_id", "text", normalize_words(F.col("text")).alias("w")).collect()
+        for r in rows:
+            assert r["w"] == py_normalize_words(r["text"]), f"doc {r['doc_id']}"
+
+
+class TestShingleTwin:
+    def test_py_shingles_matches_expression(self, docs_df):
+        from wordspell_spark.operators.dedup import _py_shingles, shingles_of
+
+        for n in (3, 5):
+            got = {
+                r["doc_id"]: set(r["sh"])
+                for r in docs_df.select(
+                    "doc_id", shingles_of(F.col("text"), n).alias("sh")
+                ).collect()
+            }
+            for i, t in dict(DOCS).items():
+                assert got[i] == _py_shingles(t, n), f"doc {i} n={n}"
+
+
+class TestOperatorImplParity:
+    """arrow and expr impls of the r5 fast twins are the same function."""
+
+    def test_contamination_hits(self, spark, corpus_df):
+        from wordspell_spark.operators.dedup import contamination_hits
+
+        eval_docs = corpus_df.filter(F.col("doc_id") % 7 == 0)
+        key = lambda rows: {r["doc_id"]: (r["n_shingles"], r["n_hits"]) for r in rows}
+        arrow = key(contamination_hits(corpus_df, eval_docs, n=5, impl="arrow").collect())
+        expr = key(contamination_hits(corpus_df, eval_docs, n=5, impl="expr").collect())
+        assert arrow == expr and len(arrow) == corpus_df.count()
+
+    def test_bigram_coherence(self, spark, corpus_df):
+        from wordspell_spark.operators import quality as Q
+        from wordspell_spark.operators.dedup import release_caches
+
+        key = lambda rows: {r["doc_id"]: (r["n_pairs"], r["coherence_sum"]) for r in rows}
+        a_df = Q.bigram_coherence(corpus_df, impl="arrow")
+        e_df = Q.bigram_coherence(corpus_df, impl="expr")
+        arrow, expr = key(a_df.collect()), key(e_df.collect())
+        release_caches(a_df)
+        release_caches(e_df)
+        assert arrow == expr and len(arrow) == corpus_df.count()
+
+    def test_bad_impl_rejected(self, docs_df):
+        import pytest as _pytest
+
+        from wordspell_spark.operators import quality as Q
+        from wordspell_spark.operators.dedup import contamination_hits
+
+        with _pytest.raises(ValueError, match="impl"):
+            contamination_hits(docs_df, docs_df, impl="nope")
+        with _pytest.raises(ValueError, match="impl"):
+            Q.bigram_coherence(docs_df, impl="nope")

@@ -82,6 +82,44 @@ def normalize_words(col: Column) -> Column:
     return F.filter(toks, is_valid_word)
 
 
+# ------------------------------------------------- Python twin (hot path)
+#
+# normalize_words evaluates as INTERPRETED higher-order functions (filter
+# with a lambda never enters whole-stage codegen), which dominates every
+# operator that tokenizes the full corpus.  The twin below reproduces it
+# bit-for-bit in plain Python for Arrow-batched hot paths (the same parity
+# discipline as dedup._py_words, property-tested in
+# tests/test_vectorized_parity.py):
+#
+# * Java regex \s is ASCII-only ([ \t\n\x0b\f\r]) — spelled explicitly so
+#   Python's Unicode \s (which adds \x1c-\x1f, \x85, \xa0, …) can't diverge.
+# * Spark lower() and Python str.lower() both apply Unicode default case
+#   mappings; the locale-sensitive divergences (final sigma, dotted I) map
+#   outside the [a-zа-яё\-`'] alphabet and are erased by the clean regex
+#   either way.
+# * F.length / startswith / endswith count code points, as Python does.
+
+import re as _re
+
+_CLEAN_INDEX_BAD_PY = _re.compile(r"[^a-zA-Zа-яА-ЯёЁ \t\n\x0b\f\r\-`']")
+_DASH_PY = _re.compile(r"[ \t\n\x0b\f\r]-[ \t\n\x0b\f\r]")
+_WS_PY = _re.compile(r"\s+", _re.ASCII)
+
+
+def py_normalize_words(text: str | None) -> list[str]:
+    """Python twin of ``normalize_words`` — bit-identical token lists."""
+    if text is None:
+        return []
+    t = _DASH_PY.sub(" ", _CLEAN_INDEX_BAD_PY.sub(" ", text.lower()))
+    return [
+        w
+        for w in _WS_PY.split(t)
+        if len(w) >= 2
+        and not w.startswith(("-", "`", "'"))
+        and not w.endswith("-")
+    ]
+
+
 _NUM_RE = r"^[0-9]+([.,][0-9]+)?$"
 _RU_RE = r"^[а-яё\-`']+$"
 _EN_RE = r"^[a-z\-`']+$"

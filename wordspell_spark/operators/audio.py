@@ -206,9 +206,12 @@ def _flac_streaminfo(payload: bytes) -> tuple[int, int, int, int] | None:
 def _mp3_header(payload: bytes) -> tuple[int, int] | None:
     """(rate, channels) from the first MPEG audio frame header.
 
-    Skips an ID3v2 tag (syncsafe length) if present, then requires the
-    11-bit frame sync.  Layer/bitrate are not needed downstream, so only
-    the version+rate+mode fields are read.
+    Skips an ID3v2 tag (syncsafe length; +10 more when the header flags a
+    footer, ID3v2.4 §3.1 — without that a footered tag lands the sync probe
+    10 bytes early and a valid MP3 degrades to the fake tier, r4 ADVICE),
+    then scans a bounded window for the 11-bit frame sync (tags in the wild
+    over- and under-report by padding).  Layer/bitrate are not needed
+    downstream, so only the version+rate+mode fields are read.
     """
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
@@ -218,6 +221,19 @@ def _mp3_header(payload: bytes) -> tuple[int, int] | None:
             | ((payload[8] & 0x7F) << 7)
             | (payload[9] & 0x7F)
         )
+        if payload[5] & 0x10:  # footer-present flag
+            pos += 10
+        # bounded forward scan for the sync word at-or-after the computed
+        # offset (tags in the wild pad past their declared size).  Only
+        # after a REAL ID3 preamble: scanning untagged payloads would let
+        # random binaries alias a 0xFFE sync (~1/2048 per offset).
+        end = min(pos + 4096, len(payload) - 3)
+        while pos <= end:
+            if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+                break
+            pos += 1
+        else:
+            return None
     if pos + 4 > len(payload):
         return None
     b0, b1, b2, b3 = payload[pos : pos + 4]

@@ -600,6 +600,13 @@ def make_jpeg(
         coeffs = np.einsum("ux,nxy,vy->nuv", _M, blocks, _M)
         qt = (qluma if ci == 0 else qchroma).astype(np.float64)
         q = np.round(coeffs / qt).astype(np.int64)
+        # The fixed Annex-K Huffman tables only have codes for AC size
+        # categories ≤ 10 (|v| ≤ 1023) and DC-diff categories ≤ 11; at
+        # quality ~95+ the all-ones quant steps let |AC| reach ~1350, and
+        # ac_tab[(run << 4) | size] would KeyError mid-encode (r4 ADVICE).
+        # Clamping every coefficient to ±1023 bounds AC size at 10 and any
+        # DC diff at 2046 → size 11 — within both tables.
+        np.clip(q, -1023, 1023, out=q)
         comp_q.append(q.reshape(by, bx, 64)[:, :, ZIGZAG])
 
     if progressive:

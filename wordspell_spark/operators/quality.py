@@ -31,32 +31,78 @@ from pyspark.sql import functions as F
 from . import index_build as IB
 
 
+def _paired_tokens(docs: DataFrame, text_col: str, id_col: str, impl: str) -> DataFrame:
+    """(id_col, a, b) — one row per token, ``b`` = next token or NULL.
+
+    ``impl="arrow"`` (default hot path): one mapInPandas runs the
+    normalize-tokenize twin (``text.py_normalize_words``, bit-identical to
+    the Catalyst pipeline — property-tested) and emits each doc's adjacent
+    pairs directly.  Adjacency is row-local, so this needs NO shuffle; the
+    ``impl="expr"`` reference form pays both the interpreted-HOF tokenize
+    and a full window sort-shuffle of the token stream on doc_id — at
+    corpus scale that shuffle is the operator's largest, and it carries
+    zero information the row didn't already have.
+    """
+    if impl == "expr":
+        words = IB.tokenized_words(docs, text_col, [id_col])
+        w = Window.partitionBy(id_col).orderBy("pos")
+        return (
+            words.withColumn("next_word", F.lead("word").over(w))
+            .select(id_col, F.col("word").alias("a"), F.col("next_word").alias("b"))
+        )
+    if impl != "arrow":
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..functions.text import py_normalize_words
+
+    inp = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    id_type = inp.schema["__id"].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            a_col: list = []
+            b_col: list = []
+            for i, t in zip(pdf["__id"], pdf["__text"]):
+                w = py_normalize_words(t)
+                if not w:
+                    continue
+                ids.extend([i] * len(w))
+                a_col.extend(w)
+                b_col.extend(w[1:])
+                b_col.append(None)
+            yield pd.DataFrame({id_col: ids, "a": a_col, "b": b_col})
+
+    return inp.mapInPandas(run, schema=f"{id_col} {id_type}, a string, b string")
+
+
 def bigram_coherence(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", impl: str = "arrow"
 ) -> DataFrame:
     """(doc_id, n_pairs, coherence_sum) — corpus-trained bigram coherence.
 
     Tokenization is the engine's standard normalize pipeline
-    (``index_build.tokenized_words``); pairs are adjacent tokens within a
-    doc regardless of language (the LM sees the document as the corpus
-    wrote it).  ``coherence_sum`` is the integer permille sum defined in
-    the module docstring; callers threshold on ``coherence_sum div
-    n_pairs`` (mean conditional probability) or on the sum directly.
-    Docs with fewer than 2 tokens get (0, 0) — present, never dropped."""
+    (``index_build.normalize_words`` semantics; see ``_paired_tokens`` for
+    the arrow/expr twin split — values are bit-identical); pairs are
+    adjacent tokens within a doc regardless of language (the LM sees the
+    document as the corpus wrote it).  ``coherence_sum`` is the integer
+    permille sum defined in the module docstring; callers threshold on
+    ``coherence_sum div n_pairs`` (mean conditional probability) or on the
+    sum directly.  Docs with fewer than 2 tokens get (0, 0) — present,
+    never dropped."""
     from .dedup import _register_owned_cache
 
-    # the tokenize pipeline (normalize HOFs) is the dominant cost and feeds
-    # three subplans (unigram table, bigram table, scored pair stream) —
-    # persist it, and the pair stream it derives, so each runs ONCE
-    words = IB.tokenized_words(docs, text_col, [id_col]).persist()
-    w = Window.partitionBy(id_col).orderBy("pos")
-    pairs = (
-        words.withColumn("next_word", F.lead("word").over(w))
-        .filter(F.col("next_word").isNotNull())
-        .select(id_col, F.col("word").alias("a"), F.col("next_word").alias("b"))
-        .persist()
-    )
-    uni = words.groupBy(F.col("word").alias("a")).agg(F.count("*").alias("c_a"))
+    assert id_col not in ("a", "b"), "id_col collides with pair column names"
+    # the tokenize pass is the dominant cost and feeds three subplans
+    # (unigram table, bigram table, scored pair stream) — persist it so it
+    # runs ONCE.  One row per token: b is NULL after a doc's last token, so
+    # the unigram table is a groupBy over the SAME relation.
+    paired = _paired_tokens(docs, text_col, id_col, impl).persist()
+    uni = paired.groupBy("a").agg(F.count("*").alias("c_a"))
+    pairs = paired.filter(F.col("b").isNotNull())
     bi = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     scored = (
         pairs.join(bi, ["a", "b"])
@@ -77,15 +123,23 @@ def bigram_coherence(
             F.coalesce("coherence_sum", F.lit(0)).alias("coherence_sum"),
         )
     )
-    _register_owned_cache(out, words, pairs)
+    _register_owned_cache(out, paired)
     return out
+
+
+# Default segment separator: ASCII whitespace spelled as an EXPLICIT class.
+# r"\s+" is NOT engine-portable: Java regex \s includes \x0b (vertical tab)
+# while DuckDB's RE2 \s does not, so texts containing VT would score
+# differently under the oracle (r4 ADVICE).  Literal control characters in
+# a character class parse identically everywhere.
+WHITESPACE_SEP = "[ \t\n\x0b\f\r]+"
 
 
 def repetition_stats(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    sep: str = r"\s+",
+    sep: str = WHITESPACE_SEP,
 ) -> DataFrame:
     """Gopher-style repetition signals: how much of the document is
     duplicated segments (lines for newline-separated corpora, words with
@@ -95,8 +149,9 @@ def repetition_stats(
     ``dup_seg_permille`` = share of segments that are repeats of an
     earlier one; ``dup_char_permille`` = share of characters inside those
     repeats (each distinct segment's first occurrence is 'original').
-    Integer permille, so any engine reproduces it exactly.  Boilerplate
-    and template spam score high; prose scores low."""
+    Integer permille over an explicit-class separator (``WHITESPACE_SEP``),
+    so any engine reproduces it exactly.  Boilerplate and template spam
+    score high; prose scores low."""
     segs = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), sep)).alias("seg"),
