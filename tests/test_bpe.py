@@ -155,3 +155,51 @@ class TestEncodeEdgeCases:
         merges = [(97, 97, 256)]
         out = B.bpe_encode(df, merges, id_col="page_id").collect()[0]
         assert out["page_id"] == "p1" and out["n_tokens"] == 2
+
+
+class TestFlatKernels:
+    """r5: the vectorized flat-stream kernels must BE _merge_one."""
+
+    def test_flatten_split_roundtrip(self):
+        words = [[97], [98, 99], [100, 101, 102], [256, 256]]
+        flat = B._flatten_words(words)
+        assert [list(w) for w in B._split_words(flat)] == words
+
+    def test_merge_flat_matches_merge_one_on_runs(self):
+        # a==b runs are the overlap-sensitive case: greedy non-overlap
+        # keeps floor(k/2) merges per run of k
+        for word in ([97] * 7, [97] * 6, [97, 98] * 4, [98, 97, 97, 97, 98],
+                     [97, 97, 98, 97, 97, 97], [97], []):
+            if not word:
+                continue
+            flat = B._flatten_words([word])
+            got = list(B._split_words(B._merge_flat(flat, 97, 97, 300))[0])
+            assert got == B._merge_one(list(word), 97, 97, 300), word
+
+    def test_merge_flat_never_crosses_word_boundary(self):
+        flat = B._flatten_words([[97, 98], [98, 99]])  # ...98 | 98... no (98,98) merge
+        out = [list(w) for w in B._split_words(B._merge_flat(flat, 98, 98, 300))]
+        assert out == [[97, 98], [98, 99]]
+
+    def test_merge_flat_property_vs_merge_one(self):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        for trial in range(200):
+            words = [list(rng.integers(97, 100, rng.integers(1, 9))) for _ in range(rng.integers(1, 6))]
+            a, b = int(rng.integers(97, 100)), int(rng.integers(97, 100))
+            flat = B._merge_flat(B._flatten_words(words), a, b, 300)
+            got = [list(w) for w in B._split_words(flat)]
+            want = [B._merge_one(list(w), a, b, 300) for w in words]
+            assert got == want, (trial, words, a, b)
+
+
+class TestImplParity:
+    def test_arrow_equals_expr_training(self, spark):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                                   "doc_id long, text string")
+        assert B.train_bpe(df, 12, impl="arrow") == B.train_bpe(df, 12, impl="expr")
+
+    def test_bad_impl_rejected(self, spark):
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="impl"):
+            B.train_bpe(df, 1, impl="nope")

@@ -32,6 +32,7 @@ from __future__ import annotations
 import re
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,6 +53,60 @@ def _merge_one(seq: list[int], a: int, b: int, new_id: int) -> list[int]:
             out.append(seq[i])
             i += 1
     return out
+
+
+# ------------------------------------------- vectorized flat-stream kernels
+#
+# The per-round hot path works on ONE int32 array per Arrow batch: every
+# word's symbols laid end-to-end with a -1 separator between words.  Real
+# symbols are >= 0, so a pair probe can never match across a word boundary,
+# and both the pair count and the merge application become numpy passes
+# instead of per-word Python loops (r4 verdict: O(rounds x vocab)
+# interpreted Python was the unproven scale shape).
+
+
+def _flatten_words(words: list) -> np.ndarray:
+    """Word symbol arrays → one -1-separated int32 stream (trailing sep)."""
+    n = len(words)
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=n)
+    flat = np.full(int(lens.sum()) + n, -1, dtype=np.int32)
+    mask = np.ones(flat.size, dtype=bool)
+    mask[np.cumsum(lens + 1) - 1] = False  # separator slots
+    if lens.sum():
+        flat[mask] = np.concatenate([np.asarray(w, dtype=np.int32) for w in words])
+    return flat
+
+
+def _split_words(flat: np.ndarray) -> list[np.ndarray]:
+    """Inverse of _flatten_words (same trailing-separator convention)."""
+    seps = np.flatnonzero(flat == -1)
+    chunks = np.split(flat, seps)
+    # chunks = [w0, [-1]+w1, ..., [-1]+w_{n-1}, [-1]]: chunk 0 has no
+    # leading separator, the last chunk is only the trailing separator
+    return [chunks[0]] + [c[1:] for c in chunks[1:-1]]
+
+
+def _merge_flat(flat: np.ndarray, a: int, b: int, new_id: int) -> np.ndarray:
+    """One left-to-right non-overlapping merge over the flat stream.
+
+    Matches are positions i with flat[i]==a and flat[i+1]==b.  Overlap
+    between matches is only possible when a == b (a run of k a's has k-1
+    consecutive candidate positions; greedy keeps every other one from
+    each run's start — exactly ``_merge_one``'s walk, property-tested)."""
+    if flat.size < 2:
+        return flat
+    m = (flat[:-1] == a) & (flat[1:] == b)
+    idx = np.flatnonzero(m)
+    if idx.size == 0:
+        return flat
+    if a == b and idx.size > 1:
+        starts = np.concatenate([[True], np.diff(idx) != 1])
+        run_start = idx[starts]
+        run_id = np.cumsum(starts) - 1
+        idx = idx[(idx - run_start[run_id]) % 2 == 0]
+    out = flat.copy()
+    out[idx] = new_id
+    return np.delete(out, idx + 1)
 
 
 def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
@@ -76,12 +131,62 @@ _PAIRS_EXPR = (
 )
 
 
+def _pair_count_top(cur: DataFrame, impl: str):
+    """The per-round argmax row [(a, b, total)] — one driver-side row.
+
+    ``impl="arrow"``: per-partition numpy pair counting over the flat
+    stream (keys packed as a<<32|b, factorize + int64 scatter-add), ONE
+    partial (a, b, total) row per distinct pair per partition feeding a
+    map-side-combined groupBy — the same shuffle volume as the expr form
+    without its interpreted transform/explode tax.
+    ``impl="expr"``: the pure-Catalyst reference form."""
+    if impl == "expr":
+        pairs = (
+            cur.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"), "count")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("count").alias("total"))
+        )
+    else:
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                words = pdf["sym"].tolist()
+                lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=len(words))
+                flat = _flatten_words(words)
+                # weight of any pair inside word i is that word's count
+                wts = np.repeat(pdf["count"].to_numpy(np.int64), lens + 1)
+                valid = (flat[:-1] >= 0) & (flat[1:] >= 0)
+                if not valid.any():
+                    continue
+                keys = (flat[:-1][valid].astype(np.int64) << 32) | flat[1:][valid]
+                codes, uniq = pd.factorize(keys)
+                totals = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(totals, codes, wts[:-1][valid])
+                yield pd.DataFrame(
+                    {
+                        "a": (uniq >> 32).astype(np.int32),
+                        "b": (uniq & 0xFFFFFFFF).astype(np.int32),
+                        "total": totals,
+                    }
+                )
+
+        pairs = (
+            cur.mapInPandas(partial, schema="a int, b int, total long")
+            .groupBy("a", "b")
+            .agg(F.sum("total").alias("total"))
+        )
+    return pairs.orderBy(F.desc("total"), F.asc("a"), F.asc("b")).limit(1).collect()
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_count: int = 2,
     checkpoint_every: int = 8,
+    impl: str = "arrow",
 ) -> list[tuple[int, int, int]]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -89,46 +194,88 @@ def train_bpe(
     Stops early when no adjacent pair reaches ``min_count``.  Each
     iteration persists the re-symbolized word table and truncates lineage
     every ``checkpoint_every`` rounds so the plan never grows unbounded.
+
+    ``impl="arrow"`` (default) runs both per-round stages as numpy passes
+    over a flat -1-separated symbol stream (see ``_merge_flat``); values
+    are bit-identical to ``impl="expr"``/the per-word reference walk
+    (parity- and property-tested).  Measured at sf0.1: the per-merge
+    marginal cost drops ~3x and is dominated by the two Spark job
+    latencies per round, not Python — see BENCH.md for the 1,000-merge
+    trend.  The remaining scale shape is the sequential driver loop
+    itself: production 30-50k-merge vocabularies want batched
+    non-overlapping merges per round (merge the top-K disjoint pairs,
+    K~100, cutting rounds ~50x) or driver-side pair-delta indexing over a
+    sampled word table; both compose with these kernels, neither is
+    needed for the contract's small vocabularies.
     """
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     cur = _word_table(docs, text_col).persist()
+    n_rows = cur.count()
+    # Right-size to WORK GRAIN (the build_deletion_bloom discipline): the
+    # merge loop pays its per-round latency in TASKS, and a contract-scale
+    # vocabulary on 32 shuffle partitions is 32 near-empty Python workers
+    # per round (measured 1.15 s/merge at 31 words; ~0.1 s right-sized).
+    # A 10^8-word web vocabulary still fans out to ~2k tasks.  coalesce is
+    # shuffle-free.
+    cap = docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = int(max(1, min(cap, -(-n_rows // 50_000))))
+    old = cur
+    cur = cur.coalesce(n_parts).persist()
     cur.count()
+    old.unpersist()
     merges: list[tuple[int, int, int]] = []
+    schema = StructType(
+        [StructField("sym", ArrayType(IntegerType())), StructField("count", LongType())]
+    )
+    prev: DataFrame | None = None
     try:
         for m in range(n_merges):
-            top = (
-                cur.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"), "count")
-                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                .agg(F.sum("count").alias("total"))
-                .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )
+            # ONE job per round: the argmax action also materializes cur's
+            # cache (built last round as a lazy persist), after which last
+            # round's table can be dropped.  An explicit count() per round
+            # doubled the job latency that dominates small vocabularies.
+            top = _pair_count_top(cur, impl)
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top or top[0]["total"] < min_count:
                 break
             a, b = int(top[0]["a"]), int(top[0]["b"])
             new_id = FIRST_LEARNED_ID + m
             merges.append((a, b, new_id))
 
-            def apply(batches: Iterator[pd.DataFrame], _a=a, _b=b, _n=new_id):
-                for pdf in batches:
-                    pdf = pdf.copy()
-                    pdf["sym"] = pdf["sym"].map(lambda s: _merge_one(list(s), _a, _b, _n))
-                    yield pdf
+            if impl == "arrow":
 
-            schema = StructType(
-                [StructField("sym", ArrayType(IntegerType())), StructField("count", LongType())]
-            )
+                def apply(batches: Iterator[pd.DataFrame], _a=a, _b=b, _n=new_id):
+                    for pdf in batches:
+                        if pdf.empty:
+                            yield pdf
+                            continue
+                        flat = _merge_flat(_flatten_words(pdf["sym"].tolist()), _a, _b, _n)
+                        yield pd.DataFrame(
+                            {"sym": _split_words(flat), "count": pdf["count"].to_numpy()}
+                        )
+
+            else:
+
+                def apply(batches: Iterator[pd.DataFrame], _a=a, _b=b, _n=new_id):
+                    for pdf in batches:
+                        pdf = pdf.copy()
+                        pdf["sym"] = pdf["sym"].map(lambda s: _merge_one(list(s), _a, _b, _n))
+                        yield pdf
+
             nxt = cur.mapInPandas(apply, schema=schema)
             if (m + 1) % checkpoint_every == 0:
                 nxt = nxt.localCheckpoint(eager=False)  # truncate lineage
             nxt = nxt.persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
+            prev, cur = cur, nxt
     finally:
         cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 
