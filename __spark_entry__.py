@@ -1068,7 +1068,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         model trained on the corpus itself.  Integer permille arithmetic
         instead of log-space floats, so the DuckDB oracle reproduces the
         score bit-exactly: Σ over adjacent pairs of
-        (1000 * corpus_count(a,b)) div corpus_count(a)."""
+        (1000 * corpus_count(a,b)) div corpus_count(a).  Runs the r5 arrow
+        default (one mapInPandas emits the pair stream row-locally — no
+        window shuffle); the oracle mirrors the impl='expr' Catalyst twin,
+        bit-identical by the tokenizer-parity property tests."""
         from wordspell_spark.operators import quality as Q
 
         return Q.bigram_coherence(_t(spark, sf, "documents"))
@@ -1077,10 +1080,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Benchmark decontamination (dedup.contamination_hits): per
         training doc, how many of its distinct 5-grams appear anywhere in
         the 'eval set' (here: every 97th doc of the same corpus, so exact
-        leaks and near-dups of eval items must light up).  The eval
-        shingle table broadcasts (benchmarks are small by nature); the
-        corpus side is one explode + broadcast join + map-side-combined
-        groupBy — corpus rows never shuffle on the shingle key."""
+        leaks and near-dups of eval items must light up).  Runs the r5
+        arrow default: the eval shingle SET broadcasts into the Python
+        workers (benchmarks are small by nature) and one mapInPandas
+        emits a row per doc — no join, no shuffle at all; the oracle
+        mirrors the impl='expr' Catalyst twin, identical output by the
+        shingle-twin parity tests."""
         from wordspell_spark.operators import dedup as D
 
         docs = _t(spark, sf, "documents")
@@ -1303,7 +1308,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.col("word"))
             .alias("query")
         ).distinct()
-        return correct_queries(misspelled, idx, payload).orderBy("query")
+        # materialize the ≤50-row query set and build the serving op from a
+        # literal DataFrame: correct_queries already collected the index
+        # into its broadcast probe, so after this nothing lazy depends on
+        # idx and the cache can be RELEASED here instead of leaking into
+        # the gate's remaining queries for the session's lifetime
+        queries_local = spark.createDataFrame(misspelled.collect(), "query string")
+        out = correct_queries(queries_local, idx, payload).orderBy("query")
+        idx.unpersist(blocking=False)
+        return out
 
     return {
         "unigram_counts": unigram_counts,

@@ -30,11 +30,10 @@ def test_rows_only_set_is_exactly_the_known_one():
     )
 
 
-def test_oracle_sql_is_syntactically_valid_duckdb():
-    import duckdb
-
-    con = duckdb.connect()
-    # empty views with the production schemas are enough for a parse check
+def _empty_views(con) -> None:
+    """Empty views with the production schemas — enough for parse and
+    output-type checks; shared by the two oracle-audit tests so a schema
+    change can't drift them apart."""
     con.execute('create view documents as select 1::bigint doc_id, \'\'::varchar as "text", \'\'::varchar lang, \'\'::varchar source, 0::bigint n_chars where 1=0')
     con.execute('create view embeddings as select 1::bigint vec_id, []::float[] embedding, 0::int as "label" where 1=0')
     con.execute('create view events as select 1::bigint event_id, now()::timestamp ts, 1::bigint user_id, \'\'::varchar event_type, 0.0::double as "value", \'\'::varchar props where 1=0')
@@ -42,6 +41,13 @@ def test_oracle_sql_is_syntactically_valid_duckdb():
     con.execute("create view orders as select 1::bigint o_orderkey, 1::bigint o_custkey, ''::varchar o_orderstatus, 0.0::double o_totalprice, now()::timestamp o_orderdate, ''::varchar o_orderpriority where 1=0")
     con.execute("create view customer as select 1::bigint c_custkey, ''::varchar c_name, 1::bigint c_nationkey, 0.0::double c_acctbal, ''::varchar c_mktsegment where 1=0")
     con.execute("create view nation as select 1::bigint n_nationkey, ''::varchar n_name, 1::bigint n_regionkey where 1=0")
+
+
+def test_oracle_sql_is_syntactically_valid_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    _empty_views(con)
     for name, sql in E.oracle_sql().items():
         try:
             con.sql(sql).df()
@@ -58,13 +64,7 @@ def test_no_oracle_emits_hugeint_or_decimal():
     import duckdb
 
     con = duckdb.connect()
-    con.execute('create view documents as select 1::bigint doc_id, \'\'::varchar as "text", \'\'::varchar lang, \'\'::varchar source, 0::bigint n_chars where 1=0')
-    con.execute('create view embeddings as select 1::bigint vec_id, []::float[] embedding, 0::int as "label" where 1=0')
-    con.execute('create view events as select 1::bigint event_id, now()::timestamp ts, 1::bigint user_id, \'\'::varchar event_type, 0.0::double as "value", \'\'::varchar props where 1=0')
-    con.execute("create view lineitem as select 1::bigint l_orderkey, 1::bigint l_partkey, 1::bigint l_suppkey, 1::int l_linenumber, 0.0::double l_quantity, 0.0::double l_extendedprice, 0.0::double l_discount, 0.0::double l_tax, ''::varchar l_returnflag, ''::varchar l_linestatus, now()::timestamp l_shipdate where 1=0")
-    con.execute("create view orders as select 1::bigint o_orderkey, 1::bigint o_custkey, ''::varchar o_orderstatus, 0.0::double o_totalprice, now()::timestamp o_orderdate, ''::varchar o_orderpriority where 1=0")
-    con.execute("create view customer as select 1::bigint c_custkey, ''::varchar c_name, 1::bigint c_nationkey, 0.0::double c_acctbal, ''::varchar c_mktsegment where 1=0")
-    con.execute("create view nation as select 1::bigint n_nationkey, ''::varchar n_name, 1::bigint n_regionkey where 1=0")
+    _empty_views(con)
     bad = []
     for name, sql in E.oracle_sql().items():
         rel = con.sql(sql)

@@ -223,17 +223,28 @@ def _mp3_header(payload: bytes) -> tuple[int, int] | None:
         )
         if payload[5] & 0x10:  # footer-present flag
             pos += 10
-        # bounded forward scan for the sync word at-or-after the computed
-        # offset (tags in the wild pad past their declared size).  Only
-        # after a REAL ID3 preamble: scanning untagged payloads would let
-        # random binaries alias a 0xFFE sync (~1/2048 per offset).
-        end = min(pos + 4096, len(payload) - 3)
+        # bounded forward scan for a VALID frame header at-or-after the
+        # computed offset (tags in the wild pad past their declared size).
+        # Only after a REAL ID3 preamble: scanning untagged payloads would
+        # let random binaries alias a 0xFFE sync (~1/2048 per offset).
+        # The scan must not COMMIT to the first sync-looking pair either —
+        # residual tag bytes can contain e.g. 0xFF 0xE1 (sync bits match,
+        # reserved layer) ahead of the genuine frame — so each candidate
+        # is fully validated and the scan continues on failure.
+        end = min(pos + 4096, len(payload) - 4)
         while pos <= end:
-            if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
-                break
+            got = _parse_frame_header(payload, pos)
+            if got is not None:
+                return got
             pos += 1
-        else:
-            return None
+        return None
+    if pos + 4 > len(payload):
+        return None
+    return _parse_frame_header(payload, pos)
+
+
+def _parse_frame_header(payload: bytes, pos: int) -> tuple[int, int] | None:
+    """Validate + parse one MPEG audio frame header at ``pos``."""
     if pos + 4 > len(payload):
         return None
     b0, b1, b2, b3 = payload[pos : pos + 4]
@@ -242,6 +253,8 @@ def _mp3_header(payload: bytes) -> tuple[int, int] | None:
     version = (b1 >> 3) & 0x3  # 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
     if version == 0b01:
         return None  # reserved version code: not a valid frame
+    if (b1 >> 1) & 0x3 == 0b00:
+        return None  # reserved layer code (also rejects JPEG APP1 0xFF 0xE1)
     rate_idx = (b2 >> 2) & 0x3
     if rate_idx == 0b11:
         return None

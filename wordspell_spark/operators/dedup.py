@@ -658,7 +658,17 @@ def contamination_hits(
     ``impl="expr"`` keeps the pure-Catalyst reference form the DuckDB
     oracle mirrors (interpreted-HOF shingles + explode_outer + broadcast
     left join + map-side groupBy); both impls produce identical output
-    (parity-tested)."""
+    (parity-tested).
+
+    Precondition: ``id_col`` is unique per row (a document PK).  With
+    duplicate ids the impls legitimately diverge — expr groupBys the id
+    (merging the duplicates' hit counts) while arrow reports each row —
+    and neither answer is meaningful for an un-deduped table.
+
+    The arrow path's eval broadcast is registered on the returned
+    DataFrame: callers that materialize many reports in one session
+    should ``release_caches(df)`` afterwards (the driver gate's
+    one-call-per-query pattern doesn't need to)."""
     if impl not in ("arrow", "expr"):
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     if impl == "arrow":
@@ -690,9 +700,14 @@ def contamination_hits(
                     }
                 )
 
-        return inp.mapInPandas(
+        out = inp.mapInPandas(
             run, schema=f"{id_col} {id_type}, n_shingles long, n_hits long"
         )
+        # Broadcast objects expose the same unpersist protocol the cache
+        # registry releases — without this, every call leaks one copy of
+        # the eval set into the block manager for the session's lifetime.
+        _register_owned_cache(out, bc)
+        return out
 
     eval_sh = (
         eval_docs.select(F.explode(shingles_of(F.col(eval_text_col), n)).alias("sh"))

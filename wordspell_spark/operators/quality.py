@@ -16,11 +16,17 @@ natural text built from the corpus's own collocations scores high.  Rank
 order matches the log-likelihood filter for the decisions that matter
 (low-tail cutoffs), while staying exact.
 
-Scale shape: one pass to tokenize (Catalyst posexplode), two map-side
-combined groupBys for the corpus unigram/bigram tables, then two joins that
-re-attach the counts to the per-doc pair stream.  The n-gram tables are the
-small side at web scale (vocab² bounded, heavy-tailed) — AQE broadcasts
-them when they fit; nothing here is per-row Python.
+Scale shape: ONE tokenize-and-pair pass (the r5 arrow default runs it as a
+single Arrow-batched mapInPandas — no per-row Python, no window shuffle;
+``impl="expr"`` keeps the pure-Catalyst reference the oracle mirrors), two
+map-side combined groupBys for the corpus unigram/bigram tables, then two
+joins that re-attach the counts to the per-doc pair stream.  The n-gram
+tables are the small side at web scale (vocab² bounded, heavy-tailed) —
+AQE broadcasts them when they fit.
+
+Precondition shared by both impls: the id column is unique per row (a
+document PK) — with duplicate ids the expr window's pair framing is
+nondeterministic and the per-doc aggregates are meaningless.
 """
 
 from __future__ import annotations
@@ -95,7 +101,8 @@ def bigram_coherence(
     never dropped."""
     from .dedup import _register_owned_cache
 
-    assert id_col not in ("a", "b"), "id_col collides with pair column names"
+    if id_col in ("a", "b"):
+        raise ValueError(f"id_col {id_col!r} collides with the internal pair columns")
     # the tokenize pass is the dominant cost and feeds three subplans
     # (unigram table, bigram table, scored pair stream) — persist it so it
     # runs ONCE.  One row per token: b is NULL after a doc's last token, so
