@@ -263,8 +263,18 @@ Why this survives 1000 executors:
   cannot create a hot partition.
 - One pass serves all five sketch kinds: the scan cost is paid once.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # Replace only the generated north-rule section; hand-written sections
+    # appended after it (they all start at a "## " heading — the generated
+    # text has none) must survive a re-run.
+    path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            tail = old[cut:]
+    with open(path, "w") as f:
+        f.write(md + tail)
 
 
 if __name__ == "__main__":
