@@ -1285,6 +1285,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(float(q), float(v)) for q, v in zip(qs, vals)], "q double, n_chars_q double"
         )
 
+    def theta_source_overlap(spark, sf):
+        # distinct-token SET ALGEBRA across sources — the capability HLL
+        # lacks: per-source theta sketches answer union / intersection /
+        # jaccard between any source pair from the stored payloads alone
+        # (wordspell_spark/sketches/theta.py; bounds pinned in pytest)
+        from wordspell_spark.sketches import theta
+
+        docs = _t(spark, sf, "documents")
+        words = docs.select("source", F.explode(D.words_of(F.col("text"))).alias("word"))
+        out = build_sketches(words, SketchSpec("theta", {"k": 4096}), ["source"], "word")
+        # |sources| KB-sized payloads — driver-side collect is the design
+        states = {r["source"]: theta.deserialize(bytes(r["sketch"])) for r in out.collect()}
+        rows = []
+        for a in sorted(states):
+            for b in sorted(states):
+                if a >= b:
+                    continue
+                sa, sb = states[a], states[b]
+                # no rounding: at the fixture vocab (31 words << k=4096) the
+                # sketches stay in EXACT mode, so every value below is an
+                # exact integer-valued double / one IEEE division — the
+                # DuckDB oracle reproduces them bit-for-bit, which makes this
+                # a hash-gated end-to-end check of the whole theta path
+                # (build → serde → merge → set ops); estimating-mode accuracy
+                # is bound-tested in tests/test_sketch_kernels.py
+                rows.append(
+                    (
+                        a,
+                        b,
+                        theta.estimate(sa),
+                        theta.estimate(sb),
+                        theta.union_estimate(sa, sb),
+                        theta.intersect_estimate(sa, sb),
+                        theta.jaccard_estimate(sa, sb),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "source_a string, source_b string, est_a double, est_b double, "
+            "est_union double, est_intersect double, jaccard double",
+        )
+
+    def freq_heavy_hitters(spark, sf):
+        # Misra–Gries heavy hitters: the deterministic dual of cms_top_tokens
+        # (MG never overcounts, CMS never undercounts); upper = est + dec is
+        # a guaranteed bound on the true count
+        from wordspell_spark.harness import make_freq_count_udf
+        from wordspell_spark.sketches import freq as FQ
+
+        docs = _t(spark, sf, "documents")
+        words = docs.select(F.explode(D.words_of(F.col("text"))).alias("word"))
+        out = build_sketches(words, SketchSpec("freq", {"k": 256}), None, "word")
+        payload = bytes(out.first()["sketch"])
+        dec = FQ.deserialize(payload).dec
+        top = words.groupBy("word").agg(F.count("*").alias("exact")).orderBy(F.desc("exact"), "word").limit(20)
+        est = make_freq_count_udf(spark, payload)
+        return top.select(
+            "word",
+            "exact",
+            est("word").alias("mg_est"),
+            (est("word") + F.lit(dec)).alias("mg_upper"),
+        )
+
     def bloom_correct_queries(spark, sf):
         # end-to-end wordspell path: index → deletion bloom → correction of
         # deterministically misspelled queries (drop char at len%7)
@@ -1369,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_top_tokens": cms_top_tokens,
         "kll_nchars_quantiles": kll_nchars_quantiles,
         "tdigest_nchars_quantiles": tdigest_nchars_quantiles,
+        "theta_source_overlap": theta_source_overlap,
+        "freq_heavy_hitters": freq_heavy_hitters,
         "bloom_correct_queries": bloom_correct_queries,
     }
 
@@ -1809,5 +1874,45 @@ with g as (
 select user_id, cast(sum(new_sess) as bigint) as n_sessions, count(*) as n_events,
        max(value) as max_value
 from g group by user_id
+""",
+        # Exact-mode theta gate: the fixture vocab (31 distinct words at every
+        # sf) is far below k=4096, so the per-source sketches and their
+        # pairwise merges stay in exact mode — estimate/union/intersect/
+        # jaccard are exact integer-valued doubles and one IEEE division,
+        # reproduced here with plain distinct-count SQL.  Any trim,
+        # serde, merge, or set-op bug turns this hash red; estimating-mode
+        # accuracy is bound-tested in pytest (tests/test_sketch_kernels.py).
+        "theta_source_overlap": f"""
+with w as (
+    select distinct source, unnest({_WS_WORDS.format(t='text')}) as word
+    from documents
+),
+counts as (select source, count(*) as c from w group by source),
+pairs as (select a.source as sa, b.source as sb
+          from counts a join counts b on a.source < b.source),
+inter as (select x.source as sa, y.source as sb, count(*) as i
+          from w x join w y on x.word = y.word and x.source < y.source
+          group by 1, 2)
+select p.sa as source_a, p.sb as source_b,
+       cast(ca.c as double) as est_a,
+       cast(cb.c as double) as est_b,
+       cast(ca.c + cb.c - coalesce(i.i, 0) as double) as est_union,
+       cast(coalesce(i.i, 0) as double) as est_intersect,
+       cast(coalesce(i.i, 0) as double) / cast(ca.c + cb.c - coalesce(i.i, 0) as double)
+           as jaccard
+from pairs p
+join counts ca on ca.source = p.sa
+join counts cb on cb.source = p.sb
+left join inter i on i.sa = p.sa and i.sb = p.sb
+""",
+        # Exact-mode Misra–Gries gate: vocab 31 << k=256 means the summary
+        # never trims (dec = 0) and mg_est == exact == mg_upper end-to-end
+        # through build → serde → broadcast UDF.  A single spurious
+        # decrement anywhere turns this hash red.
+        "freq_heavy_hitters": f"""
+with w as (select unnest({_WS_WORDS.format(t='text')}) as word from documents),
+c as (select word, cast(count(*) as bigint) as exact from w group by word)
+select word, exact, exact as mg_est, exact as mg_upper
+from c order by exact desc, word asc limit 20
 """,
     }

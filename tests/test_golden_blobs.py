@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from make_golden_sketches import SPECS, build  # noqa: E402
 
-from wordspell_spark.sketches import bloom, cms, hll, kll, tdigest  # noqa: E402
+from wordspell_spark.sketches import bloom, cms, freq, hll, kll, tdigest, theta  # noqa: E402
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
@@ -76,3 +76,17 @@ def test_tdigest_golden_quantiles():
     state = SPECS["tdigest"][0].deserialize(_stored("tdigest"))
     got = tdigest.quantile(state, [0.1, 0.5, 0.9])
     assert np.allclose(got, [-133.504077, -0.166667, 133.170744], atol=1e-5)
+
+
+def test_theta_golden_estimate():
+    state = SPECS["theta"][0].deserialize(_stored("theta"))
+    assert not theta.is_exact(state)  # k=256 < 499 distinct tokens
+    assert theta.estimate(state) == pytest.approx(491.782, abs=1e-3)
+    # a sketch intersected with itself estimates its own cardinality
+    assert theta.intersect_estimate(state, state) == pytest.approx(theta.estimate(state), rel=1e-6)
+
+
+def test_freq_golden_counts():
+    state = SPECS["freq"][0].deserialize(_stored("freq"))
+    assert (state.n, state.dec) == (5000, 10)
+    assert freq.query(state, ["tok0", "tok1", "tok16"]).tolist() == [0, 1, 1]

@@ -14,7 +14,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from wordspell_spark.sketches import SketchSpec, bloom, cms, hll, kll, tdigest
+from wordspell_spark.sketches import SketchSpec, bloom, cms, freq, hll, kll, tdigest, theta
 
 ints = st.lists(st.integers(min_value=0, max_value=1_000_000), min_size=0, max_size=300)
 
@@ -63,12 +63,31 @@ class TestExactMergeLaws:
         assert ab_c.total == union.total
 
     @settings(**_SETTINGS)
+    @given(ints, ints, ints)
+    def test_theta_associative_commutative(self, a, b, c):
+        mk = lambda xs: theta.update(theta.create(k=64), _np(xs))
+        sa, sb, sc = mk(a), mk(b), mk(c)
+        ab_c = theta.merge(theta.merge(sa, sb), sc)
+        a_bc = theta.merge(sa, theta.merge(sb, sc))
+        cb_a = theta.merge(sc, theta.merge(sb, sa))
+        assert (ab_c.hashes == a_bc.hashes).all()
+        assert (ab_c.hashes == cb_a.hashes).all()
+        # merge == single-pass build over the concatenation
+        union = theta.update(theta.create(k=64), _np(a + b + c))
+        assert (ab_c.hashes == union.hashes).all()
+        # exact mode: estimate is exactly the distinct count
+        distinct = len(set(a + b + c))
+        if distinct < 64:
+            assert theta.estimate(ab_c) == float(distinct)
+
+    @settings(**_SETTINGS)
     @given(ints, ints)
     def test_serde_roundtrip_preserves_merge(self, a, b):
         for spec in [
             SketchSpec("bloom", {"n_estimate": 2000, "fpr": 0.01}),
             SketchSpec("hll", {"p": 10}),
             SketchSpec("cms", {"width": 512, "depth": 4}),
+            SketchSpec("theta", {"k": 64}),
         ]:
             pa = spec.serialize(spec.update(spec.create(), _np(a)))
             pb = spec.serialize(spec.update(spec.create(), _np(b)))
@@ -112,3 +131,31 @@ class TestQuantileBoundPreservation:
         assert m.min_v == vals.min() and m.max_v == vals.max()
         got_mean = float((m.means * m.weights).sum() / m.weights.sum())
         assert got_mean == pytest.approx(float(vals.mean()), rel=1e-9)
+
+
+class TestFreqBoundPreservation:
+    """Misra–Gries merge is approximate by design (which ties drop depends
+    on association) — the preserved law is the MG guarantee itself."""
+
+    @settings(**_SETTINGS)
+    @given(ints, ints, ints)
+    def test_freq_mg_bound_any_association(self, a, b, c):
+        mk = lambda xs: freq.update(freq.create(k=16), _np(xs))
+        merged = [
+            freq.merge(freq.merge(mk(a), mk(b)), mk(c)),
+            freq.merge(mk(a), freq.merge(mk(b), mk(c))),
+            freq.merge(mk(c), freq.merge(mk(a), mk(b))),
+        ]
+        all_vals = _np(a + b + c)
+        n = all_vals.size
+        if n == 0:
+            for m in merged:
+                assert m.n == 0 and m.dec == 0 and not m.counters
+            return
+        uniq, true_counts = np.unique(all_vals, return_counts=True)
+        for m in merged:
+            assert m.n == n
+            assert m.dec <= n // (16 + 1) + 1
+            est = freq.query(m, uniq)
+            assert (est <= true_counts).all()
+            assert (true_counts - est <= m.dec).all()

@@ -11,7 +11,18 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from wordspell_spark.sketches import SketchSpec, bloom, cms, deserialize_any, hll, kll, serde, tdigest
+from wordspell_spark.sketches import (
+    SketchSpec,
+    bloom,
+    cms,
+    deserialize_any,
+    freq,
+    hll,
+    kll,
+    serde,
+    tdigest,
+    theta,
+)
 
 RNG = np.random.default_rng(42)
 
@@ -293,6 +304,163 @@ class TestTDigest:
 
 # ---------------------------------------------------------------- registry / spec
 
+class TestTheta:
+    def test_estimate_within_rse_bound(self):
+        for true_n in (100, 5_000, 100_000):
+            vals = np.array([f"v{i}" for i in range(true_n)], dtype=object)
+            st = theta.update(theta.create(k=4096), vals)
+            tol = 4 * theta.rse(st)  # 4 sigma; rse() is 0 in exact mode
+            assert abs(theta.estimate(st) - true_n) <= tol * true_n + 1e-9
+
+    def test_exact_mode_below_k(self):
+        st = theta.update(theta.create(k=1024), np.arange(700))
+        assert theta.is_exact(st) and theta.estimate(st) == 700.0
+        # duplicates don't advance it out of exact mode
+        theta.update(st, np.arange(700))
+        assert theta.estimate(st) == 700.0
+
+    def test_merge_bit_associative_commutative_idempotent(self):
+        chunks = [np.array([f"{c}-{i}" for i in range(3000)], dtype=object) for c in "abc"]
+        sts = [theta.update(theta.create(k=512), ch) for ch in chunks]
+        m1 = theta.merge(theta.merge(sts[0], sts[1]), sts[2])
+        m2 = theta.merge(sts[0], theta.merge(sts[1], sts[2]))
+        m3 = theta.merge(sts[2], theta.merge(sts[1], sts[0]))
+        assert (m1.hashes == m2.hashes).all() and (m1.hashes == m3.hashes).all()
+        assert (theta.merge(m1, m1).hashes == m1.hashes).all()
+
+    def test_merge_equals_union_build(self):
+        a = np.array([f"x{i}" for i in range(3000)], dtype=object)
+        b = np.array([f"x{i}" for i in range(1500, 4500)], dtype=object)
+        merged = theta.merge(
+            theta.update(theta.create(k=256), a), theta.update(theta.create(k=256), b)
+        )
+        direct = theta.update(theta.update(theta.create(k=256), a), b)
+        assert (merged.hashes == direct.hashes).all()
+
+    def test_set_expressions_within_bound(self):
+        # A = [0, 30k), B = [20k, 60k): |A∩B|=10k, |A\B|=20k, |A∪B|=60k
+        A = np.array([f"t{i}" for i in range(30_000)], dtype=object)
+        B = np.array([f"t{i}" for i in range(20_000, 60_000)], dtype=object)
+        sa = theta.update(theta.create(k=4096), A)
+        sb = theta.update(theta.create(k=4096), B)
+        # intersection/difference estimators have higher variance than the
+        # plain estimate (fewer effective samples) — allow 6x the union RSE
+        tol = 6 * (1.0 / (4096 - 2) ** 0.5) * 60_000
+        assert abs(theta.union_estimate(sa, sb) - 60_000) <= tol
+        assert abs(theta.intersect_estimate(sa, sb) - 10_000) <= tol
+        assert abs(theta.difference_estimate(sa, sb) - 20_000) <= tol
+        assert abs(theta.jaccard_estimate(sa, sb) - 1 / 6) <= 6 * (1.0 / (4096 - 2) ** 0.5)
+
+    def test_set_expressions_exact_when_both_exact(self):
+        sa = theta.update(theta.create(k=1024), np.arange(500))
+        sb = theta.update(theta.create(k=1024), np.arange(300, 800))
+        assert theta.intersect_estimate(sa, sb) == 200.0
+        assert theta.difference_estimate(sa, sb) == 300.0
+
+    def test_mixed_exact_estimating_operands(self):
+        # small exact sketch ∩ large estimating sketch: subset ⇒ est ≈ |small|
+        small = theta.update(theta.create(k=4096), np.array([f"t{i}" for i in range(2000)], dtype=object))
+        big = theta.update(
+            theta.create(k=4096), np.array([f"t{i}" for i in range(100_000)], dtype=object)
+        )
+        est = theta.intersect_estimate(small, big)
+        assert abs(est - 2000) <= 6 * theta.rse(big) * 2000 + 50
+
+    def test_geometry_mismatch_rejected(self):
+        with pytest.raises(serde.SketchFormatError):
+            theta.merge(theta.create(k=64), theta.create(k=128))
+
+    def test_serde_roundtrip(self):
+        st = theta.update(theta.create(k=128), np.arange(1000))
+        rt = theta.deserialize(theta.serialize(st))
+        assert rt.k == st.k and (rt.hashes == st.hashes).all()
+
+
+class TestFreq:
+    @staticmethod
+    def _zipf(n=200_000, seed=7):
+        rng = np.random.default_rng(seed)
+        z = rng.zipf(1.3, n)
+        return z[z < 10_000]
+
+    def test_mg_guarantees(self):
+        vals = self._zipf()
+        st = freq.create(k=64)
+        for chunk in np.array_split(vals, 9):
+            freq.update(st, chunk)
+        assert st.dec <= st.n // (64 + 1) + 1, "dec must stay <= n/(k+1)"
+        uniq, true_counts = np.unique(vals, return_counts=True)
+        est = freq.query(st, uniq)
+        assert (est <= true_counts).all(), "MG never overcounts"
+        assert (true_counts - est <= st.dec).all(), "undercount bounded by dec"
+
+    def test_heavy_hitters_guaranteed_retained(self):
+        vals = self._zipf()
+        st = freq.update(freq.create(k=64), vals)
+        thresh = st.n / (64 + 1)
+        uniq, true_counts = np.unique(vals, return_counts=True)
+        for v, c in zip(uniq, true_counts):
+            if c > thresh:
+                assert int(v) in st.counters, f"item {v} (count {c}) dropped"
+
+    def test_merge_preserves_bounds_all_associations(self):
+        vals = self._zipf()
+        parts = np.array_split(vals, 3)
+        mk = lambda p: freq.update(freq.create(k=48), p)
+        a, b, c = (mk(p) for p in parts)
+        uniq, true_counts = np.unique(vals, return_counts=True)
+        for m in (
+            freq.merge(freq.merge(a, b), c),
+            freq.merge(a, freq.merge(b, c)),
+            freq.merge(c, freq.merge(b, a)),
+        ):
+            assert m.n == vals.size
+            assert m.dec <= m.n // (48 + 1) + 1
+            est = freq.query(m, uniq)
+            assert (est <= true_counts).all()
+            assert (true_counts - est <= m.dec).all()
+
+    def test_exact_when_few_items(self):
+        vals = np.array(["a"] * 5 + ["b"] * 3 + ["c"], dtype=object)
+        st = freq.update(freq.create(k=16), vals)
+        assert st.dec == 0
+        assert freq.query(st, ["a", "b", "c", "d"]).tolist() == [5, 3, 1, 0]
+
+    def test_update_matches_one_shot(self):
+        vals = self._zipf(50_000)
+        one = freq.update(freq.create(k=32), vals)
+        # batch splits change WHICH ties are dropped but never the bounds;
+        # with a generous k the heavy head must agree exactly
+        batched = freq.create(k=32)
+        for chunk in np.array_split(vals, 5):
+            freq.update(batched, chunk)
+        top_one = [it for it, _, _ in freq.top_items(one, 5)]
+        top_batched = [it for it, _, _ in freq.top_items(batched, 5)]
+        assert top_one == top_batched
+
+    def test_string_and_int_items(self):
+        ss = freq.update(freq.create(k=8), np.array(["x", "y", "x"], dtype=object))
+        assert freq.query(ss, ["x", "y"]).tolist() == [2, 1]
+        si = freq.update(freq.create(k=8), np.array([5, 5, 9]))
+        assert freq.query(si, [5, 9]).tolist() == [2, 1]
+        with pytest.raises(serde.SketchFormatError):
+            merged = freq.merge(ss, si)
+            freq.serialize(merged)  # mixed item types must not serialize
+
+    def test_geometry_mismatch_rejected(self):
+        with pytest.raises(serde.SketchFormatError):
+            freq.merge(freq.create(k=8), freq.create(k=16))
+
+    def test_serde_roundtrip_both_value_types(self):
+        for vals in (
+            np.array([f"w{i % 37}" for i in range(500)], dtype=object),
+            np.arange(500) % 37,
+        ):
+            st = freq.update(freq.create(k=16), vals)
+            rt = freq.deserialize(freq.serialize(st))
+            assert (rt.k, rt.n, rt.dec, rt.counters) == (st.k, st.n, st.dec, st.counters)
+
+
 class TestSpecRegistry:
     def test_spec_roundtrip_all_kinds(self):
         data = RNG.integers(0, 1000, size=2000)
@@ -302,6 +470,8 @@ class TestSpecRegistry:
             ("cms", {"width": 500, "depth": 4}),
             ("kll", {"k": 100}),
             ("tdigest", {"delta": 100.0}),
+            ("theta", {"k": 512}),
+            ("freq", {"k": 64}),
         ]:
             spec = SketchSpec(kind, params)
             st = spec.update(spec.create(), data)
@@ -338,6 +508,8 @@ class TestSerdeRobustness:
             ("cms", {"eps": 0.01, "delta": 0.1}),
             ("kll", {"k": 64}),
             ("tdigest", {"delta": 50.0}),
+            ("theta", {"k": 64}),
+            ("freq", {"k": 16}),
         ]:
             spec = SketchSpec(kind, params)
             good = spec.serialize(spec.update(spec.create(), np.arange(50)))
@@ -384,6 +556,7 @@ class TestSharedHashFastPath:
             ("bloom", {"n_estimate": 20000}),
             ("hll", {"p": 12}),
             ("cms", {"width": 2048, "depth": 5}),
+            ("theta", {"k": 1024}),
         ],
     )
     def test_bit_identical_to_per_value_update(self, kind, params):
@@ -418,6 +591,8 @@ class TestSharedHashFastPath:
             "bloom": (SketchSpec("bloom", {"n_estimate": 4000}), "tok"),
             "hll": (SketchSpec("hll", {"p": 12}), "tok"),
             "cms": (SketchSpec("cms", {"width": 1024, "depth": 4}), "tok"),
+            "theta": (SketchSpec("theta", {"k": 64}), "tok"),  # 97 distinct > k: estimating
+            "freq": (SketchSpec("freq", {"k": 32}), "tok"),  # value path (no hash fast path)
         }
         multi = {
             (r["source"], r["kind"]): bytes(r["sketch"])

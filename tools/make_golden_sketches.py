@@ -35,6 +35,10 @@ SPECS = {
     "cms": (SketchSpec("cms", {"width": 256, "depth": 4}), TOKENS),
     "kll": (SketchSpec("kll", {"k": 64}), NUMBERS),
     "tdigest": (SketchSpec("tdigest", {}), NUMBERS),
+    # TOKENS has 499 distinct values (quadratic residues mod 997 incl. 0);
+    # k=256 < 499 puts the theta blob in estimating mode, k=512 would be exact
+    "theta": (SketchSpec("theta", {"k": 256}), TOKENS),
+    "freq": (SketchSpec("freq", {"k": 32}), TOKENS),
 }
 
 
@@ -68,6 +72,12 @@ def main() -> None:
     print("kll quantiles:", kll.quantile(k, [0.1, 0.5, 0.9]))
     t = SPECS["tdigest"][0].deserialize(build("tdigest"))
     print("tdigest quantiles:", [round(float(x), 6) for x in tdigest.quantile(t, [0.1, 0.5, 0.9])])
+    from wordspell_spark.sketches import freq, theta
+
+    th = SPECS["theta"][0].deserialize(build("theta"))
+    print("theta estimate:", round(theta.estimate(th), 3), "exact:", len(set(TOKENS)))
+    fr = SPECS["freq"][0].deserialize(build("freq"))
+    print("freq n/dec:", fr.n, fr.dec, "query tok0,tok1,tok16:", freq.query(fr, ["tok0", "tok1", "tok16"]))
 
 
 if __name__ == "__main__":

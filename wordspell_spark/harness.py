@@ -283,3 +283,21 @@ def make_cms_count_udf(spark: SparkSession, payload: bytes):
         return pd.Series(cms.query(state, values.to_numpy()))
 
     return est_count
+
+
+def make_freq_count_udf(spark: SparkSession, payload: bytes):
+    """Broadcast a Misra–Gries payload; vectorized point-estimate UDF.
+
+    The MG dual of ``make_cms_count_udf``: CMS never undercounts, MG never
+    overcounts — querying both brackets the true frequency from both sides.
+    """
+    from .sketches import freq
+
+    bc = spark.sparkContext.broadcast(payload)
+
+    @F.pandas_udf("long")
+    def est_count(values: pd.Series) -> pd.Series:
+        state = freq.deserialize(bc.value)
+        return pd.Series(freq.query(state, values.to_numpy()))
+
+    return est_count

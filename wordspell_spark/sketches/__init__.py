@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-from . import bloom, cms, hll, kll, serde, tdigest
+from . import bloom, cms, freq, hll, kll, serde, tdigest, theta
 
 _MODULES = {
     "bloom": bloom,
@@ -29,6 +29,8 @@ _MODULES = {
     "cms": cms,
     "kll": kll,
     "tdigest": tdigest,
+    "theta": theta,
+    "freq": freq,
 }
 
 _KIND_IDS = {
@@ -37,6 +39,8 @@ _KIND_IDS = {
     "cms": serde.KIND_CMS,
     "kll": serde.KIND_KLL,
     "tdigest": serde.KIND_TDIGEST,
+    "theta": serde.KIND_THETA,
+    "freq": serde.KIND_FREQ,
 }
 
 
@@ -97,6 +101,8 @@ __all__ = [
     "cms",
     "kll",
     "tdigest",
+    "theta",
+    "freq",
     "serde",
     "module_for",
     "deserialize_any",

@@ -32,6 +32,8 @@ KIND_HLL = 2
 KIND_CMS = 3
 KIND_KLL = 4
 KIND_TDIGEST = 5
+KIND_THETA = 6
+KIND_FREQ = 7
 
 KIND_NAMES = {
     KIND_BLOOM: "bloom",
@@ -39,6 +41,8 @@ KIND_NAMES = {
     KIND_CMS: "cms",
     KIND_KLL: "kll",
     KIND_TDIGEST: "tdigest",
+    KIND_THETA: "theta",
+    KIND_FREQ: "freq",
 }
 
 _HEADER = struct.Struct("<4sBBHI")
