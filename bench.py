@@ -282,6 +282,21 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     extra["sketch_build_tokens_per_sec"] = round(5 * n_tokens / timings["q_sketch_build_5kinds"], 1)
     extra["sketch_build_input_tokens"] = float(n_tokens)
 
+    # -- r5 kinds (theta set-algebra + Misra–Gries heavy hitters): measured
+    #    as a NON-canonical extra so the canonical 5-kinds series stays
+    #    round-over-round comparable; single timed pass, no retry machinery
+    SKETCH_SPECS_7 = dict(
+        SKETCH_SPECS,
+        theta=(SketchSpec("theta", {"k": 4096}), "tokens"),
+        freq=(SketchSpec("freq", {"k": 256}), "tokens"),
+    )
+    _t7 = time.monotonic()
+    build_sketches_multi(seq, SKETCH_SPECS_7, ["source"]).collect()
+    extra["sketch_build_7kinds_sec"] = round(time.monotonic() - _t7, 3)
+    extra["sketch_build_7kinds_tokens_per_sec"] = round(
+        7 * n_tokens / max(extra["sketch_build_7kinds_sec"], 1e-9), 1
+    )
+
     # -- merge latency: global (ungrouped) two-level HLL merge (north-rule metric)
     def merge_only():
         build_sketches(seq, SketchSpec("hll", {"p": 12}), None, "tokens").collect()

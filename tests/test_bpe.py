@@ -193,6 +193,94 @@ class TestFlatKernels:
             assert got == want, (trial, words, a, b)
 
 
+class TestBatchedMerges:
+    """batch_k>1: the r5 scale path — top-K symbol-disjoint merges/round."""
+
+    def test_merge_flat_multi_equals_sequential_for_disjoint_batches(self):
+        rng = np.random.default_rng(11)
+        for trial in range(200):
+            words = [list(rng.integers(97, 105, rng.integers(1, 10))) for _ in range(rng.integers(1, 6))]
+            # build a random symbol-disjoint batch over alphabet 97..104
+            syms = list(rng.permutation(np.arange(97, 105)))
+            n_pairs = int(rng.integers(1, 4))
+            batch = []
+            for j in range(n_pairs):
+                a, b = int(syms[2 * j]), int(syms[2 * j + 1])
+                if rng.integers(0, 4) == 0:
+                    b = a  # include (x,x) run pairs in the property
+                batch.append((a, b, 300 + j))
+            # (x,x) pairs may collide with another pair's symbols — refilter
+            used, clean = set(), []
+            for a, b, n in batch:
+                if a in used or b in used:
+                    continue
+                clean.append((a, b, n))
+                used.update((a, b))
+            flat = B._flatten_words(words)
+            got = B._merge_flat_multi(flat, clean)
+            seq = flat
+            for a, b, n in clean:
+                seq = B._merge_flat(seq, a, b, n)
+            assert got.tolist() == seq.tolist(), (trial, words, clean)
+            # disjointness ⇒ application order is irrelevant
+            rev = flat
+            for a, b, n in reversed(clean):
+                rev = B._merge_flat(rev, a, b, n)
+            assert got.tolist() == rev.tolist(), (trial, words, clean)
+
+    def test_select_disjoint(self):
+        rows = [
+            {"a": 1, "b": 2, "total": 90},
+            {"a": 2, "b": 3, "total": 80},  # conflicts with (1,2)
+            {"a": 4, "b": 4, "total": 70},
+            {"a": 4, "b": 5, "total": 60},  # conflicts with (4,4)
+            {"a": 6, "b": 7, "total": 50},
+            {"a": 8, "b": 9, "total": 1},  # below min_count floor
+        ]
+        assert B._select_disjoint(rows, 10, 2) == [(1, 2), (4, 4), (6, 7)]
+        assert B._select_disjoint(rows, 2, 2) == [(1, 2), (4, 4)]
+        assert B._select_disjoint(rows, 3, 100) == []
+
+    def test_batch_k_one_is_exactly_sequential(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+        )
+        assert B.train_bpe(df, 10, batch_k=1) == B.train_bpe(df, 10)
+
+    def test_batched_training_invariants(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+        )
+        merges = B.train_bpe(df, 12, batch_k=4)
+        assert len(merges) <= 12
+        # contiguous deterministic ids
+        assert [n for _, _, n in merges] == list(range(256, 256 + len(merges)))
+        # deterministic: a pure function of the corpus
+        assert merges == B.train_bpe(df, 12, batch_k=4)
+        # decode roundtrip: every token expands back to the original bytes
+        vocab = B.vocab_bytes(merges)
+        enc = {r["doc_id"]: list(r["tokens"]) for r in B.bpe_encode(df, merges).collect()}
+        for i, text in enumerate(CORPUS):
+            decoded = b"".join(vocab[t] for t in enc[i]).decode("utf-8")
+            assert decoded == "".join(text.split()), i
+        # batched encode never yields MORE tokens than byte-level
+        n_bytes = sum(len(w.encode()) for t in CORPUS for w in t.split())
+        assert sum(len(v) for v in enc.values()) <= n_bytes
+
+    def test_arrow_equals_expr_batched(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+        )
+        assert B.train_bpe(df, 12, batch_k=4, impl="arrow") == B.train_bpe(
+            df, 12, batch_k=4, impl="expr"
+        )
+
+    def test_bad_batch_k_rejected(self, spark):
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="batch_k"):
+            B.train_bpe(df, 1, batch_k=0)
+
+
 class TestImplParity:
     def test_arrow_equals_expr_training(self, spark):
         df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
