@@ -989,6 +989,30 @@ class TestCheckpointResume:
         m = lineage_metrics(spark, ckpt, "job1").groupBy().agg(F.sum("rows")).first()[0]
         assert m == df.count()
 
+    def test_resume_byte_identical_for_theta(self, spark, sequences_small, tmp_path):
+        """r5 kind through the generic checkpoint machinery: theta's merge is
+        bit-exactly order-independent, so a resumed bucket-wise build must
+        reproduce the one-shot payload BYTE-FOR-BYTE (stronger than the HLL
+        estimate check above)."""
+        from wordspell_spark.harness import build_sketches
+        from wordspell_spark.operators.checkpoint import finalize, run_checkpointed_build
+        from wordspell_spark.sketches import SketchSpec
+
+        spec = SketchSpec("theta", {"k": 512})
+        ckpt = str(tmp_path / "ckpt_theta")
+        df = sequences_small.limit(2000)
+        run_checkpointed_build(df, spec, ["source"], "tokens", "doc_id", ckpt, "jobT", n_buckets=8, max_buckets_this_run=3)
+        run_checkpointed_build(df, spec, ["source"], "tokens", "doc_id", ckpt, "jobT", n_buckets=8)
+        resumed = {
+            r["source"]: bytes(r["sketch"])
+            for r in finalize(spark, spec, ["source"], ckpt, "jobT", n_buckets=8).collect()
+        }
+        oneshot = {
+            r["source"]: bytes(r["sketch"])
+            for r in build_sketches(df, spec, ["source"], "tokens").collect()
+        }
+        assert resumed == oneshot
+
     def test_rerun_is_noop(self, spark, sequences_small, tmp_path):
         from wordspell_spark.operators.checkpoint import run_checkpointed_build
         from wordspell_spark.sketches import SketchSpec
