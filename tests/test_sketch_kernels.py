@@ -604,4 +604,16 @@ class TestSharedHashFastPath:
                 for r in build_sketches(df, spec, ["source"], vc).collect()
             }
             for src, payload in single.items():
-                assert multi[(src, kind)] == payload, (kind, src)
+                if kind == "freq":
+                    # MG trims depend on the order partial payloads arrive at
+                    # the final merge, which the shuffle does not fix across
+                    # different jobs — byte-identity would be flaky.  The
+                    # preserved law is the MG bound itself.
+                    from wordspell_spark.sketches import freq as FQ
+
+                    m, s = FQ.deserialize(multi[(src, kind)]), FQ.deserialize(payload)
+                    assert (m.k, m.n) == (s.k, s.n)
+                    for st in (m, s):
+                        assert st.dec <= st.n // (st.k + 1) + 1
+                else:
+                    assert multi[(src, kind)] == payload, (kind, src)

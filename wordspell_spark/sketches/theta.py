@@ -161,6 +161,8 @@ def difference_estimate(a: ThetaState, b: ThetaState) -> float:
 
 def jaccard_estimate(a: ThetaState, b: ThetaState) -> float:
     """J(A,B) from the common-theta sample (0.0 for two empty sketches)."""
+    if a.k != b.k:
+        raise serde.SketchFormatError(f"theta k mismatch: {a.k} vs {b.k}")
     ra, rb, _ = _below_common_theta(a, b)
     inter = np.intersect1d(ra, rb, assume_unique=True).size
     union = ra.size + rb.size - inter
