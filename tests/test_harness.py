@@ -10,8 +10,14 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from wordspell_spark.harness import build_sketches, collect_sketches, make_cms_count_udf, make_membership_udf
-from wordspell_spark.sketches import SketchSpec, bloom, cms, hll, kll, tdigest
+from wordspell_spark.harness import (
+    build_sketches,
+    collect_sketches,
+    make_cms_count_udf,
+    make_freq_count_udf,
+    make_membership_udf,
+)
+from wordspell_spark.sketches import SketchSpec, bloom, cms, freq, hll, kll, tdigest, theta
 
 
 @pytest.fixture(scope="module")
@@ -69,6 +75,74 @@ def test_cms_heavy_hitters(spark, sequences_small):
     assert (est >= true).all(), "CMS must never undercount"
     assert (est - true <= cms.error_bound(st)).all()
     assert st.total == sequences_small.select(F.sum("n_tok")).first()[0]
+
+
+def test_theta_per_source_within_bound_and_set_ops(spark, sequences_small, exact_distinct_per_source):
+    spec = SketchSpec("theta", {"k": 4096})
+    states = collect_sketches(
+        build_sketches(sequences_small, spec, ["source"], "tokens"), spec, ["source"]
+    )
+    assert set(states) == set(exact_distinct_per_source)
+    for src, st in states.items():
+        est, true = theta.estimate(st), exact_distinct_per_source[src]
+        tol = 5 * theta.rse(st) * true + 2  # rse()==0 in exact mode
+        assert abs(est - true) <= tol, f"{src}: {est} vs {true}"
+    # pairwise intersection vs exact, for the two largest sources
+    (a, b) = sorted(exact_distinct_per_source, key=exact_distinct_per_source.get)[-2:]
+    toks = sequences_small.select("source", F.explode("tokens").alias("t"))
+    inter_true = (
+        toks.filter(F.col("source") == a).select("t").distinct()
+        .join(toks.filter(F.col("source") == b).select("t").distinct(), "t")
+        .count()
+    )
+    union_true = (
+        exact_distinct_per_source[a] + exact_distinct_per_source[b] - inter_true
+    )
+    tol = 6 * (1.0 / (4096 - 2) ** 0.5) * union_true + 2
+    assert abs(theta.intersect_estimate(states[a], states[b]) - inter_true) <= tol
+    assert abs(theta.union_estimate(states[a], states[b]) - union_true) <= tol
+
+
+def test_theta_salted_two_level_same_hashes(spark, sequences_small):
+    spec = SketchSpec("theta", {"k": 512})
+    flat = collect_sketches(build_sketches(sequences_small, spec, ["source"], "tokens"), spec, ["source"])
+    salted = collect_sketches(
+        build_sketches(sequences_small, spec, ["source"], "tokens", salt_buckets=4), spec, ["source"]
+    )
+    for src in flat:
+        assert (flat[src].hashes == salted[src].hashes).all(), "salted tree must be bit-identical (theta merge order-free)"
+
+
+def test_freq_heavy_hitters_bounds_and_udf(spark, sequences_small):
+    spec = SketchSpec("freq", {"k": 128})
+    result = build_sketches(sequences_small, spec, None, "tokens")
+    payload = bytes(result.first()["sketch"])
+    st = freq.deserialize(payload)
+    counts = (
+        sequences_small.select(F.explode("tokens").alias("t")).groupBy("t").count().collect()
+    )
+    exact = {int(r["t"]): int(r["count"]) for r in counts}
+    n = sum(exact.values())
+    assert st.n == n
+    assert st.dec <= n // (128 + 1) + 1
+    top = sorted(exact.items(), key=lambda kv: -kv[1])[:20]
+    est = freq.query(st, [k for k, _ in top])
+    for (k, true), e in zip(top, est):
+        assert e <= true and true - e <= st.dec, (k, int(e), true)
+        if true > n / 129:
+            assert int(k) in st.counters, f"guaranteed-heavy item {k} dropped"
+    # broadcast UDF twin agrees with the driver-side query
+    udf = make_freq_count_udf(spark, payload)
+    got = {
+        int(r["t"]): int(r["mg"])
+        for r in sequences_small.select(F.explode("tokens").alias("t"))
+        .distinct()
+        .limit(50)
+        .select("t", udf("t").alias("mg"))
+        .collect()
+    }
+    for t, mg in got.items():
+        assert mg == int(freq.query(st, [t])[0])
 
 
 def test_kll_and_tdigest_ntok_quantiles(spark, sequences_small):

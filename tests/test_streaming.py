@@ -69,6 +69,33 @@ def test_incremental_equals_batch(spark, tmp_path, chunked_input):
     assert sum(r["rows"] for r in final_rows) == 4000
 
 
+def test_incremental_theta_byte_identical_to_batch(spark, tmp_path, chunked_input):
+    """r5 kind through the generic streaming path: theta's merge is order-
+    free bit-exactly, so incremental state must equal the one-shot payload
+    byte-for-byte (stronger than the HLL estimate check above)."""
+    from wordspell_spark.harness import build_sketches
+    from wordspell_spark.sketches import SketchSpec
+    from wordspell_spark.streaming.incremental import incremental_sketch_query, read_state
+
+    input_dir, tbl = chunked_input
+    spec = SketchSpec("theta", {"k": 256})
+    state = str(tmp_path / "state_theta")
+    ckpt = str(tmp_path / "ckpt_theta")
+    q = incremental_sketch_query(
+        spark, str(input_dir), SCHEMA, spec, ["source"], "tokens", state, ckpt
+    )
+    q.awaitTermination()
+    streamed = {
+        r["source"]: bytes(r["sketch"]) for r in read_state(spark, state).collect()
+    }
+    full_df = spark.createDataFrame(tbl.slice(0, 2000).to_pandas(), SCHEMA)
+    batch = {
+        r["source"]: bytes(r["sketch"])
+        for r in build_sketches(full_df, spec, ["source"], "tokens").collect()
+    }
+    assert streamed == batch
+
+
 def test_epoch_replay_is_skipped(spark, tmp_path):
     """Re-delivering an epoch (foreachBatch replay after a downstream crash)
     must NOT re-merge its partials — CMS/KLL/t-digest are additive, so a
