@@ -7,6 +7,9 @@ Oracle-checked queries use only engine-portable determinism: md5-derived
 cosine/jaccard values — so the DuckDB SQL reproduces Spark bit-for-bit.
 Sketch estimates (HLL/CMS/KLL/t-digest/Bloom) are rows-only here; their
 error bounds and merge laws are asserted in tests/ (pytest) instead.
+The r5 kinds (theta, Misra–Gries freq) ARE oracle-checked: the fixture
+vocab (31 distinct words at every sf) sits far below their k, so the
+sketch answers are provably exact and the DuckDB twins match bit-for-bit.
 """
 
 from __future__ import annotations

@@ -86,13 +86,17 @@ path = sequences_path({rows})
 n_tokens = spark.read.parquet(path).select(F.sum("n_tok")).first()[0]
 
 def specs():
-    return {{
+    out = {{
         "bloom": (SketchSpec("bloom", {{"n_estimate": 200_000, "fpr": 0.005}}), "tokens"),
         "hll": (SketchSpec("hll", {{"p": 12}}), "tokens"),
         "cms": (SketchSpec("cms", {{"eps": 0.0005, "delta": 0.01}}), "tokens"),
         "kll": (SketchSpec("kll", {{"k": 200}}), "n_tok"),
         "tdigest": (SketchSpec("tdigest", {{"delta": 100.0}}), "n_tok"),
     }}
+    if {kinds} == 7:
+        out["theta"] = (SketchSpec("theta", {{"k": 4096}}), "tokens")
+        out["freq"] = (SketchSpec("freq", {{"k": 256}}), "tokens")
+    return out
 
 def job():
     seq = spark.read.parquet(path)  # identical splits at every cluster size
@@ -116,15 +120,15 @@ print(json.dumps({{"nexec": nexec, "cores": {cores} * nexec, "wall_s": round(wal
                    "cpu_s_passes": round(cpu_s, 2),
                    "steal_s_passes": round(steal_s, 2),
                    "tokens": int(n_tokens),
-                   "tokens_per_sec": round(5 * n_tokens / wall, 1) if wall else 0.0}}))
+                   "tokens_per_sec": round({kinds} * n_tokens / wall, 1) if wall else 0.0}}))
 spark.stop()
 """
 
 
-def run_at(nexec: int, rows: int, passes: int = PASSES) -> dict:
+def run_at(nexec: int, rows: int, passes: int = PASSES, kinds: int = 5) -> dict:
     """One cluster invocation (N executor JVMs); the job reports wall per
     pass and whole-VM busy-CPU seconds over its timed passes."""
-    code = _JOB.format(repo=REPO, nexec=nexec, rows=rows, passes=passes, cores=CORES_PER_EXEC)
+    code = _JOB.format(repo=REPO, nexec=nexec, rows=rows, passes=passes, cores=CORES_PER_EXEC, kinds=kinds)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=3600)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not line:
@@ -161,12 +165,12 @@ def cpu_probe(nproc: int) -> float:
     return sum(rates) / len(rates)
 
 
-def run_pairs(n: int, rows: int, invocations: int = 3) -> tuple[dict, dict, list[float]]:
+def run_pairs(n: int, rows: int, invocations: int = 3, kinds: int = 5) -> tuple[dict, dict, list[float]]:
     """Interleave N / 4N cluster invocations back-to-back; the median
     per-pair efficiency rejects machine-state drift between runs."""
     pairs = []
     for _ in range(invocations):
-        pairs.append((run_at(n, rows), run_at(4 * n, rows)))
+        pairs.append((run_at(n, rows, kinds=kinds), run_at(4 * n, rows, kinds=kinds)))
     effs = [h["tokens_per_sec"] / (4 * l["tokens_per_sec"]) for l, h in pairs]
     order = sorted(range(len(effs)), key=lambda i: effs[i])
     mid = order[(len(effs) - 1) // 2]
@@ -184,7 +188,10 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
     invocations = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    lo, hi, effs = run_pairs(n, rows, invocations)
+    # kinds=7 adds theta+freq (r5) — a NON-canonical variant: JSON only,
+    # BENCH.md's generated section stays the comparable 5-kind series
+    kinds = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    lo, hi, effs = run_pairs(n, rows, invocations, kinds=kinds)
 
     cpu_lo = min(lo["all_cpu"])
     cpu_hi = min(hi["all_cpu"])
@@ -196,7 +203,7 @@ def main() -> None:
     eff = hi["tokens_per_sec"] / (4 * lo["tokens_per_sec"])
     eff_norm = min(eff / envelope, 1.0)
     result = {
-        "job": "sketch_build_5kinds_single_pass",
+        "job": f"sketch_build_{kinds}kinds_single_pass",
         "mode": f"local-cluster[{n}|{4*n},{CORES_PER_EXEC},6g]",
         "rows": rows,
         "n": lo,
@@ -210,6 +217,8 @@ def main() -> None:
         "framework_scaling_efficiency": round(eff_norm, 3),
     }
     print(json.dumps(result))
+    if kinds != 5:
+        return  # non-canonical variant: JSON only, never rewrite BENCH.md
 
     md = f"""# BENCH — scaling evidence (north rule)
 
