@@ -167,6 +167,41 @@ class TestHll:
         rt = hll.deserialize(hll.serialize(st))
         assert rt.p == st.p and (rt.registers == st.registers).all()
 
+    def test_sparse_wire_form(self):
+        """Nearly-empty sketches serialize sparse (the many-groups shuffle
+        payload optimization); registers round-trip exactly, mixed
+        sparse/dense merges are bit-identical, and both forms are
+        serialize-stable."""
+        small = hll.update(hll.create(p=14), np.arange(30))
+        ps = hll.serialize(small)
+        assert len(ps) < 200 < (1 << 14)  # ~120x under the dense form
+        rt = hll.deserialize(ps)
+        assert rt.p == small.p and (rt.registers == small.registers).all()
+        assert hll.serialize(rt) == ps  # stable
+
+        big = hll.update(hll.create(p=10), np.arange(100_000))
+        pb = hll.serialize(big)
+        assert len(pb) == 12 + 1 + (1 << 10)  # full sketches stay dense
+        assert hll.serialize(hll.deserialize(pb)) == pb
+
+        spec = SketchSpec("hll", {"p": 10})
+        tiny = spec.serialize(spec.update(spec.create(), np.arange(5)))
+        merged = spec.deserialize(spec.merge_payloads([tiny, pb]))
+        direct = hll.merge(hll.deserialize(tiny), hll.deserialize(pb))
+        assert (merged.registers == direct.registers).all()
+
+        # estimates agree through the sparse form
+        assert hll.estimate(rt) == hll.estimate(small)
+
+    def test_sparse_wire_rejects_corruption(self):
+        ps = hll.serialize(hll.update(hll.create(p=12), np.arange(10)))
+        for bad in (ps[: len(ps) // 2], ps[:13], ps + b"xx"):
+            with pytest.raises((serde.SketchFormatError, ValueError)):
+                hll.deserialize(bad)
+        # a flagged payload must not slip through a flag-naive reader
+        with pytest.raises(serde.SketchFormatError):
+            serde.unpack_header(ps)
+
 
 # ---------------------------------------------------------------- cms
 

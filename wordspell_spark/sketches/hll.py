@@ -132,14 +132,49 @@ def rse(state: HllState) -> float:
 
 
 def serialize(state: HllState) -> bytes:
-    return serde.pack_header(serde.KIND_HLL, _PARAMS.pack(state.p)) + state.registers.tobytes()
+    """Dense (m register bytes) or sparse wire form, whichever is smaller.
+
+    Sparse body: u32 count, then count u32 entries ``idx << 6 | rank``
+    sorted by idx (rank <= 64-p+1 <= 61 fits 6 bits; p <= 18 keeps idx in
+    26 bits).  Chosen deterministically from the state alone whenever
+    ``4*nonzero + 4 < m``.  Why: at high-cardinality group keys (per-source
+    sketches over 10^12 rows) the partial-payload shuffle carries
+    |partitions| x |groups| payloads, and a group seen a handful of times
+    per partition pays the full 2^p dense bytes for a few set registers —
+    sparse cuts that ~30-200x.  In-memory state stays dense; merge and
+    every query are unchanged."""
+    regs = state.registers
+    nz = np.flatnonzero(regs)
+    m = regs.size
+    if 4 * nz.size + 4 < m:
+        packed = (nz.astype(np.uint32) << np.uint32(6)) | regs[nz].astype(np.uint32)
+        body = struct.pack("<I", nz.size) + np.ascontiguousarray(packed, dtype="<u4").tobytes()
+        return serde.pack_header(serde.KIND_HLL, _PARAMS.pack(state.p), serde.FLAG_SPARSE) + body
+    return serde.pack_header(serde.KIND_HLL, _PARAMS.pack(state.p)) + regs.tobytes()
 
 
 def deserialize(payload: bytes) -> HllState:
-    kind, params, body = serde.unpack_header(payload)
+    kind, flags, params, body = serde.unpack_header_full(payload)
     if kind != serde.KIND_HLL:
         raise serde.SketchFormatError(f"not an hll payload (kind={kind})")
+    if flags & ~serde.FLAG_SPARSE:
+        raise serde.SketchFormatError(f"unknown hll flags 0x{flags:04x}")
     (p,) = _PARAMS.unpack(params)
+    if flags & serde.FLAG_SPARSE:
+        if len(body) < 4:
+            raise serde.SketchFormatError("sparse hll body too short")
+        (n,) = struct.unpack_from("<I", body, 0)
+        if (len(body) - 4) % 4:
+            raise serde.SketchFormatError("sparse hll body size not a multiple of 4")
+        packed = np.frombuffer(body[4:], dtype="<u4")
+        if packed.size != n:
+            raise serde.SketchFormatError("sparse hll body size mismatch")
+        idx = (packed >> np.uint32(6)).astype(np.int64)
+        if (idx >= 1 << p).any():
+            raise serde.SketchFormatError("sparse hll register index out of range")
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        regs[idx] = (packed & np.uint32(0x3F)).astype(np.uint8)
+        return HllState(p, regs)
     regs = np.frombuffer(body, dtype=np.uint8).copy()
     if regs.size != 1 << p:
         raise serde.SketchFormatError("hll body size mismatch")

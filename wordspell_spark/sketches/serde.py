@@ -47,30 +47,46 @@ KIND_NAMES = {
 
 _HEADER = struct.Struct("<4sBBHI")
 
+# flags bits (u16, previously reserved-0; readers that predate a flag MUST
+# reject payloads carrying it rather than misparse the body — enforced by
+# each kernel's deserialize checking the bits it understands)
+FLAG_SPARSE = 0x0001  # kind-specific compact body for nearly-empty sketches
+
 
 class SketchFormatError(ValueError):
     pass
 
 
-def pack_header(kind: int, params: bytes) -> bytes:
-    return _HEADER.pack(MAGIC, VERSION, kind, 0, len(params)) + params
+def pack_header(kind: int, params: bytes, flags: int = 0) -> bytes:
+    return _HEADER.pack(MAGIC, VERSION, kind, flags, len(params)) + params
 
 
-def unpack_header(payload: bytes | bytearray | memoryview) -> tuple[int, bytes, memoryview]:
-    """Return (kind, params_bytes, body_memoryview)."""
+def unpack_header_full(
+    payload: bytes | bytearray | memoryview,
+) -> tuple[int, int, bytes, memoryview]:
+    """Return (kind, flags, params_bytes, body_memoryview)."""
     buf = memoryview(payload)
     if len(buf) < _HEADER.size:
         raise SketchFormatError(f"payload too short: {len(buf)} bytes")
-    magic, version, kind, _flags, plen = _HEADER.unpack_from(buf, 0)
+    magic, version, kind, flags, plen = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise SketchFormatError(f"bad magic {magic!r}")
     if version != VERSION:
         raise SketchFormatError(f"unsupported version {version}")
     off = _HEADER.size
     params = bytes(buf[off : off + plen])
-    return kind, params, buf[off + plen :]
+    return kind, flags, params, buf[off + plen :]
+
+
+def unpack_header(payload: bytes | bytearray | memoryview) -> tuple[int, bytes, memoryview]:
+    """Return (kind, params_bytes, body_memoryview); flag-carrying payloads
+    must go through kernels that know their flags (see unpack_header_full)."""
+    kind, flags, params, body = unpack_header_full(payload)
+    if flags:
+        raise SketchFormatError(f"unexpected header flags 0x{flags:04x} for this reader")
+    return kind, params, body
 
 
 def peek_kind(payload: bytes) -> int:
-    kind, _, _ = unpack_header(payload)
+    kind, _, _, _ = unpack_header_full(payload)
     return kind
