@@ -203,6 +203,53 @@ class TestHll:
             serde.unpack_header(ps)
 
 
+class TestSparseWireForms:
+    """Bloom and CMS sparse payloads (the many-groups shuffle optimization,
+    same header flag as HLL's): nearly-empty partials shrink 85x / 1000x+;
+    bits/counts round-trip exactly, mixed sparse/dense merges are
+    bit-identical, full sketches stay dense, corruption rejects loudly."""
+
+    def test_bloom_sparse(self):
+        st = bloom.create(200_000, 0.005)
+        bloom.update(st, np.array([f"t{i}" for i in range(100)], dtype=object))
+        p = bloom.serialize(st)
+        assert len(p) < st.m // 8 // 50  # >50x under dense
+        rt = bloom.deserialize(p)
+        assert (rt.m, rt.k) == (st.m, st.k) and (rt.bits == st.bits).all()
+        assert bloom.serialize(rt) == p
+        assert bloom.contains(rt, np.array(["t5", "t99", "absent"], dtype=object)).tolist() == [True, True, False]
+        full = bloom.update(bloom.create(1000, 0.01), np.arange(1000))
+        pf = bloom.serialize(full)
+        assert len(pf) >= full.m // 8  # saturated filter stays dense
+        spec = SketchSpec("bloom", {"n_estimate": 1000, "fpr": 0.01})
+        tiny = spec.serialize(spec.update(spec.create(), np.arange(5)))
+        merged = spec.deserialize(spec.merge_payloads([tiny, pf]))
+        assert (merged.bits == (bloom.deserialize(tiny).bits | full.bits)).all()
+        for bad in (p[: len(p) // 2], p + b"xy"):
+            with pytest.raises((serde.SketchFormatError, ValueError)):
+                bloom.deserialize(bad)
+
+    def test_cms_sparse(self):
+        st = cms.create(eps=1e-4, delta=1e-3)
+        cms.update(st, np.array([1, 1, 2, 3]))
+        p = cms.serialize(st)
+        assert len(p) < 8 * st.counts.size // 1000  # >1000x under dense
+        rt = cms.deserialize(p)
+        assert rt.total == st.total and (rt.counts == st.counts).all()
+        assert cms.serialize(rt) == p
+        assert cms.query(rt, np.array([1, 2, 3, 99])).tolist() == cms.query(st, np.array([1, 2, 3, 99])).tolist()
+        full = cms.update(cms.create(width=64, depth=3), np.arange(5000))
+        pf = cms.serialize(full)
+        assert (cms.deserialize(pf).counts == full.counts).all()
+        spec = SketchSpec("cms", {"width": 64, "depth": 3})
+        mixed = spec.deserialize(spec.merge_payloads([p_sp := cms.serialize(cms.update(cms.create(width=64, depth=3), np.array([7]))), pf]))
+        direct = cms.merge(cms.deserialize(p_sp), full)
+        assert (mixed.counts == direct.counts).all() and mixed.total == direct.total
+        for bad in (p[: len(p) // 2], p + b"xy"):
+            with pytest.raises((serde.SketchFormatError, ValueError)):
+                cms.deserialize(bad)
+
+
 # ---------------------------------------------------------------- cms
 
 class TestCms:

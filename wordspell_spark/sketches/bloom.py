@@ -172,16 +172,45 @@ def approx_fpr(state: BloomState) -> float:
 
 
 def serialize(state: BloomState) -> bytes:
+    """Dense packed-bit or sparse wire form, whichever is smaller.
+
+    Sparse body: u32 count, then count ascending u32 set-bit indices —
+    chosen deterministically whenever ``4*set_bits + 4 < m/8`` (and m fits
+    u32 indexing).  Why: the filter is sized once for the FULL expected
+    element count (the reference's NewWithEstimates discipline), so a
+    partial built from one partition's slice of one group carries a huge,
+    almost-empty bit array — at n_estimate=200k that is ~430 KB dense per
+    (partition, group) payload; a partition that saw 100 items serializes
+    to ~5 KB sparse.  In-memory state stays a bool array; merge (OR) and
+    contains() are unchanged."""
     params = _PARAMS.pack(state.m, state.k)
+    nz = np.flatnonzero(state.bits)
+    if state.m <= 0xFFFFFFFF and 4 * nz.size + 4 < state.m // 8:
+        body = struct.pack("<I", nz.size) + np.ascontiguousarray(nz, dtype="<u4").tobytes()
+        return serde.pack_header(serde.KIND_BLOOM, params, serde.FLAG_SPARSE) + body
     packed = np.packbits(state.bits, bitorder="little")  # LSB-first == old u64-word layout
     return serde.pack_header(serde.KIND_BLOOM, params) + packed.tobytes()
 
 
 def deserialize(payload: bytes) -> BloomState:
-    kind, params, body = serde.unpack_header(payload)
+    kind, flags, params, body = serde.unpack_header_full(payload)
     if kind != serde.KIND_BLOOM:
         raise serde.SketchFormatError(f"not a bloom payload (kind={kind})")
+    if flags & ~serde.FLAG_SPARSE:
+        raise serde.SketchFormatError(f"unknown bloom flags 0x{flags:04x}")
     m, k = _PARAMS.unpack(params)
+    if flags & serde.FLAG_SPARSE:
+        if len(body) < 4 or (len(body) - 4) % 4:
+            raise serde.SketchFormatError("sparse bloom body size mismatch")
+        (n,) = struct.unpack_from("<I", body, 0)
+        idx = np.frombuffer(body[4:], dtype="<u4").astype(np.int64)
+        if idx.size != n:
+            raise serde.SketchFormatError("sparse bloom body size mismatch")
+        if idx.size and (idx[-1] >= m or (np.diff(idx) <= 0).any()):
+            raise serde.SketchFormatError("sparse bloom indices not ascending in range")
+        bits = np.zeros(m, dtype=np.bool_)
+        bits[idx] = True
+        return BloomState(m, k, bits)
     raw = np.frombuffer(body, dtype=np.uint8)
     if raw.size != m // 8:
         raise serde.SketchFormatError("bloom body size mismatch")
