@@ -202,6 +202,28 @@ class TestHll:
         with pytest.raises(serde.SketchFormatError):
             serde.unpack_header(ps)
 
+    def test_sparse_wire_rejects_crafted_corruption(self):
+        """Duplicated indices and out-of-range ranks must raise, not
+        silently corrupt registers (review finding: dup idx dropped a
+        register and rank=63 inflated every downstream union estimate)."""
+        import struct
+
+        st = hll.update(hll.create(p=12), np.arange(10))
+        p = hll.serialize(st)
+        _, _, params, body = serde.unpack_header_full(p)
+        (n,) = struct.unpack_from("<I", bytes(body), 0)
+        packed = np.frombuffer(bytes(body)[4:], dtype="<u4").copy()
+        dup = packed.copy()
+        dup[1] = dup[0]
+        bad = serde.pack_header(serde.KIND_HLL, params, serde.FLAG_SPARSE) + struct.pack("<I", n) + dup.tobytes()
+        with pytest.raises(serde.SketchFormatError):
+            hll.deserialize(bad)
+        hi = packed.copy()
+        hi[0] = (hi[0] & ~np.uint32(0x3F)) | np.uint32(63)  # max legal for p=12 is 53
+        bad = serde.pack_header(serde.KIND_HLL, params, serde.FLAG_SPARSE) + struct.pack("<I", n) + hi.tobytes()
+        with pytest.raises(serde.SketchFormatError):
+            hll.deserialize(bad)
+
 
 class TestSparseWireForms:
     """Bloom and CMS sparse payloads (the many-groups shuffle optimization,
@@ -248,6 +270,23 @@ class TestSparseWireForms:
         for bad in (p[: len(p) // 2], p + b"xy"):
             with pytest.raises((serde.SketchFormatError, ValueError)):
                 cms.deserialize(bad)
+
+    def test_corrupt_geometry_cannot_force_giant_allocation(self):
+        """A ~30-byte payload lying about m / width*depth must raise before
+        the dense in-memory array is allocated (review finding: a claimed
+        m=2^40 attempted a 1 TB np.zeros)."""
+        import struct
+
+        bad_bloom = serde.pack_header(
+            serde.KIND_BLOOM, struct.pack("<QI", 1 << 40, 7), serde.FLAG_SPARSE
+        ) + struct.pack("<I", 1) + struct.pack("<I", 5)
+        with pytest.raises(serde.SketchFormatError):
+            bloom.deserialize(bad_bloom)
+        bad_cms = serde.pack_header(
+            serde.KIND_CMS, struct.pack("<II", 1 << 31, 1 << 10), serde.FLAG_SPARSE
+        ) + struct.pack("<qI", 0, 0)
+        with pytest.raises(serde.SketchFormatError):
+            cms.deserialize(bad_cms)
 
 
 # ---------------------------------------------------------------- cms

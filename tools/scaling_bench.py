@@ -134,7 +134,7 @@ def run_at(nexec: int, rows: int, passes: int = PASSES, kinds: int = 5) -> dict:
     if not line:
         raise RuntimeError(f"job at {nexec} executors failed:\n{out.stderr[-2000:]}")
     res = json.loads(line[-1])
-    res["cpu_s_per_pass"] = round(res["cpu_s_passes"] / PASSES, 2)
+    res["cpu_s_per_pass"] = round(res["cpu_s_passes"] / max(passes, 1), 2)
     return res
 
 
@@ -176,11 +176,16 @@ def _wait_quiet(max_s: float = 300.0) -> float:
     import time
 
     def probe():
+        # steal / (busy + steal), matching bench.py's wait_quiet: between
+        # invocations this guest is ~idle, so steal over TOTAL jiffies
+        # (incl. idle) would read a full stolen core as 3% and never block
         v0 = list(map(int, open("/proc/stat").readline().split()[1:9]))
         time.sleep(1.0)
         v1 = list(map(int, open("/proc/stat").readline().split()[1:9]))
-        total = sum(b - a for a, b in zip(v0, v1))
-        return (v1[7] - v0[7]) / max(total, 1)
+        d = [b - a for a, b in zip(v0, v1)]
+        busy = d[0] + d[1] + d[2] + d[5] + d[6]
+        steal = d[7]
+        return steal / max(busy + steal, 1)
 
     waited, streak = 0.0, 0
     while waited < max_s and streak < 2:
@@ -231,6 +236,8 @@ def main() -> None:
     # kinds=7 adds theta+freq (r5) — a NON-canonical variant: JSON only,
     # BENCH.md's generated section stays the comparable 5-kind series
     kinds = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    if kinds not in (5, 7):
+        raise SystemExit(f"kinds must be 5 or 7, got {kinds}")
     lo, hi, effs = run_pairs(n, rows, invocations, kinds=kinds)
 
     cpu_lo = min(lo["all_cpu"])
@@ -256,6 +263,7 @@ def main() -> None:
         "hardware_envelope_efficiency": round(envelope, 3),
         "framework_scaling_efficiency": round(eff_norm, 3),
         "storm_pairs_rejected": lo.get("storm_pairs_rejected", 0),
+        "all_pairs_stormy": lo.get("all_pairs_stormy", False),
     }
     print(json.dumps(result))
     if kinds != 5:
@@ -284,7 +292,8 @@ each job's timed region — the guest runs only this workload.
 **speedup {n}->{4*n} executors: {result['speedup']}x — raw scaling efficiency: {eff:.3f}**
 (per-pair efficiencies across interleaved invocations: {[round(e,3) for e in effs]};
 all walls lo={lo['all_walls']}, hi={hi['all_walls']};
-co-tenant-storm pairs rejected by the >{STORM_STEAL_S:.0f}s-steal criterion: {result['storm_pairs_rejected']},
+co-tenant-storm pairs rejected by the >{STORM_STEAL_S:.0f}s-steal criterion: {result['storm_pairs_rejected']}{
+    " — NO pair was storm-free this session; all kept and disclosed" if result['all_pairs_stormy'] else ""},
 per-pair steal lo={lo['all_steal']}, hi={hi['all_steal']})
 
 **CPU-time efficiency: {cpu_eff:.3f}** — busy-CPU seconds per pass at

@@ -36,6 +36,7 @@ DEFAULT_FPR = 0.005  # reference default, component.go:16
 
 _U64 = np.uint64
 _PARAMS = struct.Struct("<QI")  # m_bits, k
+_MAX_SPARSE_M = 1 << 31  # sparse wire form only below this m (see serialize)
 
 
 def optimal_m_k(n: int, p: float) -> tuple[int, int]:
@@ -184,8 +185,13 @@ def serialize(state: BloomState) -> bytes:
     to ~5 KB sparse.  In-memory state stays a bool array; merge (OR) and
     contains() are unchanged."""
     params = _PARAMS.pack(state.m, state.k)
-    nz = np.flatnonzero(state.bits)
-    if state.m <= 0xFFFFFFFF and 4 * nz.size + 4 < state.m // 8:
+    # cheap gate first (no index materialization on the dense/saturated
+    # path); the _MAX_SPARSE_M cap bounds what a corrupt sparse payload can
+    # force deserialize to allocate — serialize applies the same cap so
+    # every emitted payload stays round-trippable
+    n_set = int(np.count_nonzero(state.bits))
+    if state.m <= _MAX_SPARSE_M and 4 * n_set + 4 < state.m // 8:
+        nz = np.flatnonzero(state.bits)
         body = struct.pack("<I", nz.size) + np.ascontiguousarray(nz, dtype="<u4").tobytes()
         return serde.pack_header(serde.KIND_BLOOM, params, serde.FLAG_SPARSE) + body
     packed = np.packbits(state.bits, bitorder="little")  # LSB-first == old u64-word layout
@@ -200,6 +206,11 @@ def deserialize(payload: bytes) -> BloomState:
         raise serde.SketchFormatError(f"unknown bloom flags 0x{flags:04x}")
     m, k = _PARAMS.unpack(params)
     if flags & serde.FLAG_SPARSE:
+        if m > _MAX_SPARSE_M:
+            # a 30-byte corrupt payload must not force a giant allocation;
+            # legit filters above the cap always serialize dense, where the
+            # body-size cross-check rejects a lying header for free
+            raise serde.SketchFormatError(f"sparse bloom m={m} above cap {_MAX_SPARSE_M}")
         if len(body) < 4 or (len(body) - 4) % 4:
             raise serde.SketchFormatError("sparse bloom body size mismatch")
         (n,) = struct.unpack_from("<I", body, 0)

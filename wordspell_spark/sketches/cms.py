@@ -25,6 +25,7 @@ from .hashing import double_hash, splitmix64
 
 _U64 = np.uint64
 _PARAMS = struct.Struct("<II")  # width, depth
+_MAX_SPARSE_CELLS = 1 << 28  # sparse wire form only below this (see serialize)
 
 DEFAULT_EPS = 1e-4
 DEFAULT_DELTA = 1e-3
@@ -134,9 +135,13 @@ def serialize(state: CmsState) -> bytes:
     the shuffle; merge (cellwise +) and query are unchanged."""
     params = _PARAMS.pack(state.width, state.depth)
     flat = state.counts.reshape(-1)
-    nz = np.flatnonzero(flat)
     cells = flat.size
-    if cells <= 0xFFFFFFFF and 12 * nz.size + 12 < 8 * cells:
+    # cheap gate first; the cap mirrors bloom's: corrupt sparse payloads
+    # cannot force a giant allocation, and serialize applies the same cap
+    # so every emitted payload round-trips
+    n_set = int(np.count_nonzero(flat))
+    if cells <= _MAX_SPARSE_CELLS and 12 * n_set + 12 < 8 * cells:
+        nz = np.flatnonzero(flat)
         body = (
             struct.pack("<qI", state.total, nz.size)
             + np.ascontiguousarray(nz, dtype="<u4").tobytes()
@@ -155,6 +160,10 @@ def deserialize(payload: bytes) -> CmsState:
         raise serde.SketchFormatError(f"unknown cms flags 0x{flags:04x}")
     width, depth = _PARAMS.unpack(params)
     if flags & serde.FLAG_SPARSE:
+        if depth * width > _MAX_SPARSE_CELLS:
+            raise serde.SketchFormatError(
+                f"sparse cms cells={depth * width} above cap {_MAX_SPARSE_CELLS}"
+            )
         if len(body) < 12 or (len(body) - 12) % 12:
             raise serde.SketchFormatError("sparse cms body size mismatch")
         total, n = struct.unpack_from("<qI", body, 0)

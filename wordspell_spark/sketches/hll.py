@@ -144,9 +144,10 @@ def serialize(state: HllState) -> bytes:
     sparse cuts that ~30-200x.  In-memory state stays dense; merge and
     every query are unchanged."""
     regs = state.registers
-    nz = np.flatnonzero(regs)
     m = regs.size
-    if 4 * nz.size + 4 < m:
+    n_set = int(np.count_nonzero(regs))  # cheap gate: no index materialization
+    if 4 * n_set + 4 < m:
+        nz = np.flatnonzero(regs)
         packed = (nz.astype(np.uint32) << np.uint32(6)) | regs[nz].astype(np.uint32)
         body = struct.pack("<I", nz.size) + np.ascontiguousarray(packed, dtype="<u4").tobytes()
         return serde.pack_header(serde.KIND_HLL, _PARAMS.pack(state.p), serde.FLAG_SPARSE) + body
@@ -170,10 +171,13 @@ def deserialize(payload: bytes) -> HllState:
         if packed.size != n:
             raise serde.SketchFormatError("sparse hll body size mismatch")
         idx = (packed >> np.uint32(6)).astype(np.int64)
-        if (idx >= 1 << p).any():
-            raise serde.SketchFormatError("sparse hll register index out of range")
+        ranks = (packed & np.uint32(0x3F)).astype(np.uint8)
+        if idx.size and (idx[-1] >= 1 << p or (np.diff(idx) <= 0).any()):
+            raise serde.SketchFormatError("sparse hll indices not ascending in range")
+        if (ranks == 0).any() or (ranks > 64 - p + 1).any():
+            raise serde.SketchFormatError("sparse hll rank out of range")
         regs = np.zeros(1 << p, dtype=np.uint8)
-        regs[idx] = (packed & np.uint32(0x3F)).astype(np.uint8)
+        regs[idx] = ranks
         return HllState(p, regs)
     regs = np.frombuffer(body, dtype=np.uint8).copy()
     if regs.size != 1 << p:
