@@ -1351,6 +1351,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (est("word") + F.lit(dec)).alias("mg_upper"),
         )
 
+    def distinct_sample_per_source(spark, sf):
+        # bottom-k-by-hash DISTINCT-VALUE sample (sketches/sample.py): a
+        # deterministic, mergeable representative sample per source —
+        # stable across re-runs/partitionings, which randomSplit/sample
+        # can't give.  At the fixture vocab (31 << k) it is in EXACT mode
+        # (the sample IS the distinct set), so the DuckDB oracle checks the
+        # whole build → serde → merge chain bit-for-bit; estimating-mode
+        # behavior is bound-tested in pytest.
+        from wordspell_spark.sketches import sample as SMP
+
+        docs = _t(spark, sf, "documents")
+        words = docs.select("source", F.explode(D.words_of(F.col("text"))).alias("word"))
+        out = build_sketches(words, SketchSpec("sample", {"k": 1024}), ["source"], "word")
+        rows = [
+            (r["source"], w)
+            for r in out.collect()
+            for w in SMP.sample(SMP.deserialize(bytes(r["sketch"])))
+        ]
+        return spark.createDataFrame(rows, "source string, word string")
+
     def bloom_correct_queries(spark, sf):
         # end-to-end wordspell path: index → deletion bloom → correction of
         # deterministically misspelled queries (drop char at len%7)
@@ -1437,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_nchars_quantiles": tdigest_nchars_quantiles,
         "theta_source_overlap": theta_source_overlap,
         "freq_heavy_hitters": freq_heavy_hitters,
+        "distinct_sample_per_source": distinct_sample_per_source,
         "bloom_correct_queries": bloom_correct_queries,
     }
 
@@ -1917,5 +1938,13 @@ with w as (select unnest({_WS_WORDS.format(t='text')}) as word from documents),
 c as (select word, cast(count(*) as bigint) as exact from w group by word)
 select word, exact, exact as mg_est, exact as mg_upper
 from c order by exact desc, word asc limit 20
+""",
+        # Exact-mode distinct-sample gate: vocab 31 << k=1024, so the
+        # bottom-k-by-hash sample retains EVERY distinct (source, word) —
+        # the oracle is plain SELECT DISTINCT.  A dropped or phantom sample
+        # entry anywhere in build → serde → merge turns the hash red.
+        "distinct_sample_per_source": f"""
+select distinct source, unnest({_WS_WORDS.format(t='text')}) as word
+from documents
 """,
     }

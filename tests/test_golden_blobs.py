@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from make_golden_sketches import SPECS, build  # noqa: E402
 
-from wordspell_spark.sketches import bloom, cms, freq, hll, kll, tdigest, theta  # noqa: E402
+from wordspell_spark.sketches import bloom, cms, freq, hll, kll, sample, tdigest, theta  # noqa: E402
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
@@ -90,3 +90,14 @@ def test_freq_golden_counts():
     state = SPECS["freq"][0].deserialize(_stored("freq"))
     assert (state.n, state.dec) == (5000, 10)
     assert freq.query(state, ["tok0", "tok1", "tok16"]).tolist() == [0, 1, 1]
+
+
+def test_sample_golden():
+    state = SPECS["sample"][0].deserialize(_stored("sample"))
+    assert not sample.is_exact(state)  # k=128 < 499 distinct tokens
+    assert sample.estimate(state) == pytest.approx(521.858, abs=1e-3)
+    assert sample.sample(state)[:3] == ["tok760", "tok738", "tok565"]
+    # the retained hash set must equal a theta build at the same k
+    th = theta.update(theta.create(k=128), SPECS["sample"][1][:2500])
+    theta.update(th, SPECS["sample"][1][2500:])
+    assert (state.hashes == th.hashes).all()

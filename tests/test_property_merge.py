@@ -14,7 +14,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from wordspell_spark.sketches import SketchSpec, bloom, cms, freq, hll, kll, tdigest, theta
+from wordspell_spark.sketches import SketchSpec, bloom, cms, freq, hll, kll, sample, tdigest, theta
 
 ints = st.lists(st.integers(min_value=0, max_value=1_000_000), min_size=0, max_size=300)
 
@@ -79,6 +79,24 @@ class TestExactMergeLaws:
         distinct = len(set(a + b + c))
         if distinct < 64:
             assert theta.estimate(ab_c) == float(distinct)
+
+    @settings(**_SETTINGS)
+    @given(ints, ints, ints)
+    def test_sample_associative_commutative_and_exact(self, a, b, c):
+        mk = lambda xs: sample.update(sample.create(k=32), _np(xs))
+        sa, sb, sc = mk(a), mk(b), mk(c)
+        ab_c = sample.merge(sample.merge(sa, sb), sc)
+        a_bc = sample.merge(sa, sample.merge(sb, sc))
+        cb_a = sample.merge(sc, sample.merge(sb, sa))
+        assert (ab_c.hashes == a_bc.hashes).all() and ab_c.values == a_bc.values
+        assert (ab_c.hashes == cb_a.hashes).all() and ab_c.values == cb_a.values
+        union = sample.update(sample.create(k=32), _np(a + b + c))
+        assert (ab_c.hashes == union.hashes).all() and ab_c.values == union.values
+        distinct = set(a + b + c)
+        if len(distinct) < 32:
+            assert set(sample.sample(ab_c)) == distinct  # exact mode IS the set
+        else:
+            assert set(sample.sample(ab_c)) <= distinct
 
     @settings(**_SETTINGS)
     @given(ints, ints)

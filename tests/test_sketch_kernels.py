@@ -20,6 +20,7 @@ from wordspell_spark.sketches import (
     freq,
     hll,
     kll,
+    sample,
     serde,
     tdigest,
     theta,
@@ -294,6 +295,7 @@ class TestSparseWireForms:
             ("tdigest", {"delta": 50.0}, np.arange(500).astype(float)),
             ("theta", {"k": 64}, np.arange(500)),
             ("freq", {"k": 16}, np.arange(500) % 37),
+            ("sample", {"k": 64}, np.arange(500)),
         ]:
             spec = SketchSpec(kind, params)
             payloads.append((spec, spec.serialize(spec.update(spec.create(), data))))
@@ -621,6 +623,76 @@ class TestFreq:
             assert (rt.k, rt.n, rt.dec, rt.counters) == (st.k, st.n, st.dec, st.counters)
 
 
+class TestSample:
+    def test_merge_equals_oneshot_and_associative(self):
+        A = np.array([f"v{i}" for i in range(20000)], dtype=object)
+        parts = np.array_split(A, 5)
+        mk = lambda p: sample.update(sample.create(k=256), p)
+        sts = [mk(p) for p in parts]
+        m1 = sample.merge(sample.merge(sts[0], sts[1]), sts[2])
+        m2 = sample.merge(sts[0], sample.merge(sts[1], sts[2]))
+        assert (m1.hashes == m2.hashes).all() and m1.values == m2.values
+        full = sts[0]
+        for s in sts[1:]:
+            full = sample.merge(full, s)
+        one = sample.update(sample.create(k=256), A)
+        assert (full.hashes == one.hashes).all() and full.values == one.values
+
+    def test_sample_is_subset_and_estimate_bounded(self):
+        A = np.array([f"v{i}" for i in range(50000)], dtype=object)
+        st = sample.update(sample.create(k=1024), A)
+        s = sample.sample(st)
+        assert len(s) == 1024 == len(set(s))
+        assert set(s) <= set(A.tolist())
+        assert abs(sample.estimate(st) - 50000) <= 5 * sample.rse(st) * 50000
+
+    def test_exact_mode_is_the_distinct_set(self):
+        st = sample.update(sample.create(k=64), np.array(["a", "b", "a", "c"], dtype=object))
+        assert sample.is_exact(st)
+        assert sorted(sample.sample(st)) == ["a", "b", "c"]
+        assert sample.estimate(st) == 3.0
+
+    def test_retains_same_hashes_as_theta(self):
+        """Cross-kind invariant: the sample is theta's retained set with
+        values attached — same k, same input, identical hash arrays."""
+        A = np.array([f"v{i}" for i in range(9000)], dtype=object)
+        ss = sample.update(sample.create(k=512), A)
+        ts = theta.update(theta.create(k=512), A)
+        assert (ss.hashes == ts.hashes).all()
+
+    def test_stability_across_partitionings(self):
+        """The sample is a pure function of the value set — any split of
+        the input yields the same sample (what randomSplit can't give)."""
+        A = np.array([f"v{i}" for i in range(5000)], dtype=object)
+        rng = np.random.default_rng(5)
+        base = sample.update(sample.create(k=128), A)
+        for _ in range(3):
+            perm = rng.permutation(A)
+            st = sample.create(k=128)
+            for chunk in np.array_split(perm, int(rng.integers(2, 9))):
+                sample.update(st, chunk)
+            assert (st.hashes == base.hashes).all() and st.values == base.values
+
+    def test_serde_roundtrip_both_value_types(self):
+        for vals in (
+            np.array([f"w{i}" for i in range(300)], dtype=object),
+            np.arange(300),
+        ):
+            st = sample.update(sample.create(k=64), vals)
+            rt = sample.deserialize(sample.serialize(st))
+            assert rt.k == st.k and (rt.hashes == st.hashes).all() and rt.values == st.values
+
+    def test_geometry_mismatch_rejected(self):
+        with pytest.raises(serde.SketchFormatError):
+            sample.merge(sample.create(k=64), sample.create(k=128))
+
+    def test_nulls_skipped(self):
+        st = sample.update(
+            sample.create(k=64), np.array(["a", None, float("nan"), "b"], dtype=object)
+        )
+        assert sorted(sample.sample(st)) == ["a", "b"]
+
+
 class TestSpecRegistry:
     def test_spec_roundtrip_all_kinds(self):
         data = RNG.integers(0, 1000, size=2000)
@@ -632,6 +704,7 @@ class TestSpecRegistry:
             ("tdigest", {"delta": 100.0}),
             ("theta", {"k": 512}),
             ("freq", {"k": 64}),
+            ("sample", {"k": 64}),
         ]:
             spec = SketchSpec(kind, params)
             st = spec.update(spec.create(), data)
@@ -670,6 +743,7 @@ class TestSerdeRobustness:
             ("tdigest", {"delta": 50.0}),
             ("theta", {"k": 64}),
             ("freq", {"k": 16}),
+            ("sample", {"k": 16}),
         ]:
             spec = SketchSpec(kind, params)
             good = spec.serialize(spec.update(spec.create(), np.arange(50)))

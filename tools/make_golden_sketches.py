@@ -39,6 +39,7 @@ SPECS = {
     # k=256 < 499 puts the theta blob in estimating mode, k=512 would be exact
     "theta": (SketchSpec("theta", {"k": 256}), TOKENS),
     "freq": (SketchSpec("freq", {"k": 32}), TOKENS),
+    "sample": (SketchSpec("sample", {"k": 128}), TOKENS),  # 128 < 499: estimating
 }
 
 
@@ -78,6 +79,10 @@ def main() -> None:
     print("theta estimate:", round(theta.estimate(th), 3), "exact:", len(set(TOKENS)))
     fr = SPECS["freq"][0].deserialize(build("freq"))
     print("freq n/dec:", fr.n, fr.dec, "query tok0,tok1,tok16:", freq.query(fr, ["tok0", "tok1", "tok16"]))
+    from wordspell_spark.sketches import sample
+
+    sm = SPECS["sample"][0].deserialize(build("sample"))
+    print("sample estimate:", round(sample.estimate(sm), 3), "head:", sample.sample(sm)[:3])
 
 
 if __name__ == "__main__":

@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-from . import bloom, cms, freq, hll, kll, serde, tdigest, theta
+from . import bloom, cms, freq, hll, kll, sample, serde, tdigest, theta
 
 _MODULES = {
     "bloom": bloom,
@@ -31,6 +31,7 @@ _MODULES = {
     "tdigest": tdigest,
     "theta": theta,
     "freq": freq,
+    "sample": sample,
 }
 
 _KIND_IDS = {
@@ -41,6 +42,7 @@ _KIND_IDS = {
     "tdigest": serde.KIND_TDIGEST,
     "theta": serde.KIND_THETA,
     "freq": serde.KIND_FREQ,
+    "sample": serde.KIND_SAMPLE,
 }
 
 
@@ -103,6 +105,7 @@ __all__ = [
     "tdigest",
     "theta",
     "freq",
+    "sample",
     "serde",
     "module_for",
     "deserialize_any",

@@ -34,6 +34,7 @@ KIND_KLL = 4
 KIND_TDIGEST = 5
 KIND_THETA = 6
 KIND_FREQ = 7
+KIND_SAMPLE = 8
 
 KIND_NAMES = {
     KIND_BLOOM: "bloom",
@@ -43,6 +44,7 @@ KIND_NAMES = {
     KIND_TDIGEST: "tdigest",
     KIND_THETA: "theta",
     KIND_FREQ: "freq",
+    KIND_SAMPLE: "sample",
 }
 
 _HEADER = struct.Struct("<4sBBHI")
