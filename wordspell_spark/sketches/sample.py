@@ -104,7 +104,9 @@ def update(state: SampleState, values) -> SampleState:
 def _absorb(state: SampleState, h: np.ndarray, items: list) -> SampleState:
     """Merge (hash, value) candidates into the bottom-k state."""
     if not is_exact(state):
-        keep = h < state.hashes[-1]
+        # <= (not <): an equal-hash candidate must reach the collision
+        # min-rule below, or associativity would break in the 2^-64 case
+        keep = h <= state.hashes[-1]
         if not keep.any():
             return state
         h = h[keep]
