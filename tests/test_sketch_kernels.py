@@ -692,6 +692,30 @@ class TestSample:
         )
         assert sorted(sample.sample(st)) == ["a", "b"]
 
+    def test_corrupt_k_rejected_before_it_can_crash_later(self):
+        """k=0/1 in a corrupted params block must raise at deserialize, not
+        as an IndexError/ZeroDivisionError from estimate/update later
+        (third-review finding; theta had the same gap)."""
+        import struct
+
+        head = serde._HEADER.size
+        p = sample.serialize(sample.create(k=64))
+        bad = serde.pack_header(serde.KIND_SAMPLE, struct.pack("<I", 0)) + bytes(p[head + 4 :])
+        with pytest.raises(serde.SketchFormatError):
+            sample.deserialize(bad)
+        tp = theta.serialize(theta.create(k=64))
+        badt = serde.pack_header(serde.KIND_THETA, struct.pack("<I", 1)) + bytes(tp[head + 4 :])
+        with pytest.raises(serde.SketchFormatError):
+            theta.deserialize(badt)
+
+    def test_kll_truncated_compactor_rejected(self):
+        """An 8-aligned truncation used to deserialize into a state with
+        silently missing items (third-review finding)."""
+        st = kll.update(kll.create(k=20), np.arange(100).astype(float))
+        p = kll.serialize(st)
+        with pytest.raises(serde.SketchFormatError):
+            kll.deserialize(p[:-16])
+
 
 class TestSpecRegistry:
     def test_spec_roundtrip_all_kinds(self):

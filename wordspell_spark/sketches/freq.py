@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 
 from . import serde
+from .hashing import normalize_items as _normalize_keys
 
 DEFAULT_K = 256
 
@@ -55,26 +56,6 @@ def create(k: int = DEFAULT_K) -> FreqState:
     if not 1 <= k <= (1 << 20):
         raise ValueError(f"k must be in [1, 2^20], got {k}")
     return FreqState(k)
-
-
-def _normalize_keys(uniq: np.ndarray) -> list:
-    if uniq.dtype.kind in "iu":
-        return [int(v) for v in uniq]
-    if uniq.dtype.kind in "US":
-        return [str(v) for v in uniq]
-    if uniq.dtype == object:
-        out = []
-        for v in uniq:
-            if isinstance(v, (int, np.integer)):
-                out.append(int(v))
-            elif isinstance(v, (str, np.str_)):
-                out.append(str(v))
-            elif isinstance(v, bytes):
-                out.append(v.decode("utf-8"))
-            else:
-                raise TypeError(f"freq sketch supports int/str items, got {type(v)}")
-        return out
-    raise TypeError(f"freq sketch supports int/str items, got dtype {uniq.dtype}")
 
 
 def update(state: FreqState, values) -> FreqState:

@@ -70,6 +70,47 @@ def dedupe_values(vals: np.ndarray) -> np.ndarray:
     return np.unique(vals)
 
 
+def normalize_items(uniq: np.ndarray) -> list:
+    """Canonical python int/str items for value-carrying sketch kinds
+    (freq, sample).  One definition so the normalization rules — and the
+    values they feed to ``hash64`` — can never diverge between kinds."""
+    if uniq.dtype.kind in "iu":
+        return [int(v) for v in uniq]
+    if uniq.dtype.kind in "US":
+        return [str(v) for v in uniq]
+    if uniq.dtype == object:
+        out = []
+        for v in uniq:
+            if isinstance(v, (int, np.integer)):
+                out.append(int(v))
+            elif isinstance(v, (str, np.str_)):
+                out.append(str(v))
+            elif isinstance(v, bytes):
+                out.append(v.decode("utf-8"))
+            else:
+                raise TypeError(f"sketch supports int/str items, got {type(v)}")
+        return out
+    raise TypeError(f"sketch supports int/str items, got dtype {uniq.dtype}")
+
+
+_KMV_FULL_SCALE = 2.0**64
+
+
+def kmv_estimate(hashes: np.ndarray, k: int) -> float:
+    """Bottom-k distinct-count estimator shared by theta and sample:
+    exact below k, else (k-1) * 2^64 / k-th smallest hash."""
+    if hashes.size < k:
+        return float(hashes.size)
+    return (k - 1) * _KMV_FULL_SCALE / float(hashes[-1])
+
+
+def kmv_rse(hashes: np.ndarray, k: int) -> float:
+    """Published bound 1/sqrt(k-2); 0 in exact mode."""
+    if hashes.size < k:
+        return 0.0
+    return 1.0 / ((k - 2) ** 0.5)
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain constant mix)."""
     x = x.astype(_U64, copy=True)

@@ -175,14 +175,20 @@ def deserialize(payload: bytes) -> KllState:
     n, min_v, max_v, coin, nlevels = struct.unpack_from("<qddqI", body, 0)
     off = struct.calcsize("<qddqI")
     compactors = []
-    for _ in range(nlevels):
+    for level in range(nlevels):
+        if off + 4 > len(body):
+            raise serde.SketchFormatError("kll body truncated (level header)")
         (sz,) = struct.unpack_from("<I", body, off)
         off += 4
         items = np.frombuffer(body[off : off + 8 * sz], dtype="<f8").astype(np.float64)
+        if items.size != sz:
+            raise serde.SketchFormatError("kll body truncated (compactor items)")
         if np.isnan(items).any():  # update filters NaN; a stored NaN is bit-rot
             raise serde.SketchFormatError("kll compactor corrupt (NaN item)")
         compactors.append(items)
         off += 8 * sz
+    if off != len(body):
+        raise serde.SketchFormatError("kll body has trailing bytes")
     if n < 0 or np.isnan(min_v) or np.isnan(max_v):
         raise serde.SketchFormatError("kll summary stats corrupt")
     return KllState(k, compactors, n, min_v, max_v, coin)

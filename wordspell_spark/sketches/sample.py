@@ -28,14 +28,14 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pandas as pd
 
 from . import serde
-from .hashing import hash64
+from .hashing import hash64, kmv_estimate, kmv_rse, normalize_items
 
 DEFAULT_K = 1024
 
 _U64 = np.uint64
-_FULL_SCALE = 2.0**64
 _PARAMS = struct.Struct("<I")
 _BODY_HEAD = struct.Struct("<IB")
 _VT_INT = 0
@@ -67,38 +67,26 @@ def is_exact(state: SampleState) -> bool:
     return state.hashes.size < state.k
 
 
-def _normalize(vals: np.ndarray) -> list:
-    if vals.dtype.kind in "iu":
-        return [int(v) for v in vals]
-    if vals.dtype.kind in "US":
-        return [str(v) for v in vals]
-    if vals.dtype == object:
-        out = []
-        for v in vals:
-            if isinstance(v, (int, np.integer)):
-                out.append(int(v))
-            elif isinstance(v, (str, np.str_)):
-                out.append(str(v))
-            elif isinstance(v, bytes):
-                out.append(v.decode("utf-8"))
-            else:
-                raise TypeError(f"sample sketch supports int/str items, got {type(v)}")
-        return out
-    raise TypeError(f"sample sketch supports int/str items, got dtype {vals.dtype}")
-
-
 def update(state: SampleState, values) -> SampleState:
+    """Batch update: dedupe the VALUES first with one pd.factorize pass
+    (C hash table; also drops None/NaN — they factorize to code -1), then
+    hash and normalize only the distinct survivors — both the expensive
+    ``hash64`` and all python-level work run over O(batch-distinct) items,
+    never O(rows) (BASELINE.json input_hint).  Equal-hash distinct values
+    (a 2^-64 collision) fall through to ``_absorb``'s min-value rule."""
     vals = np.asarray(values)
     if vals.size == 0:
         return state
-    if vals.dtype == object:
-        mask = np.array([v is not None and v == v for v in vals], dtype=bool)
-        vals = vals[mask]
-        if vals.size == 0:
+    uniq_vals = np.asarray(pd.factorize(vals)[1])
+    if uniq_vals.size == 0:
+        return state
+    h = hash64(uniq_vals).astype(_U64, copy=False)
+    if not is_exact(state):
+        keep = h <= state.hashes[-1]
+        h, uniq_vals = h[keep], uniq_vals[keep]
+        if h.size == 0:
             return state
-    items = _normalize(vals)
-    h = hash64(vals).astype(_U64, copy=False)
-    return _absorb(state, h, items)
+    return _absorb(state, h, normalize_items(uniq_vals))
 
 
 def _absorb(state: SampleState, h: np.ndarray, items: list) -> SampleState:
@@ -146,16 +134,12 @@ def sample(state: SampleState) -> list:
 
 
 def estimate(state: SampleState) -> float:
-    """Distinct-count estimate (same KMV estimator as theta.py)."""
-    if is_exact(state):
-        return float(state.hashes.size)
-    return (state.k - 1) * _FULL_SCALE / float(state.hashes[-1])
+    """Distinct-count estimate (the shared KMV estimator, hashing.py)."""
+    return kmv_estimate(state.hashes, state.k)
 
 
 def rse(state: SampleState) -> float:
-    if is_exact(state):
-        return 0.0
-    return 1.0 / ((state.k - 2) ** 0.5)
+    return kmv_rse(state.hashes, state.k)
 
 
 def serialize(state: SampleState) -> bytes:
@@ -182,6 +166,8 @@ def deserialize(payload: bytes) -> SampleState:
     if kind != serde.KIND_SAMPLE:
         raise serde.SketchFormatError(f"not a sample payload (kind={kind})")
     (k,) = _PARAMS.unpack(params)
+    if not 16 <= k <= (1 << 20):  # same bounds as create(); corrupt k would
+        raise serde.SketchFormatError(f"sample k out of range: {k}")  # crash later
     if len(body) < _BODY_HEAD.size:
         raise serde.SketchFormatError("sample body too short")
     n, vtype = _BODY_HEAD.unpack_from(body, 0)

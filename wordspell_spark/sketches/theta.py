@@ -32,7 +32,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from . import serde
-from .hashing import dedupe_values, hash64
+from .hashing import dedupe_values, hash64, kmv_estimate, kmv_rse
 
 DEFAULT_K = 4096  # RSE = 1/sqrt(k-2) ~ 1.56%
 
@@ -112,17 +112,14 @@ def merge(a: ThetaState, b: ThetaState) -> ThetaState:
 
 
 def estimate(state: ThetaState) -> float:
-    """Distinct-count estimate; exact while fewer than k hashes retained."""
-    if is_exact(state):
-        return float(state.hashes.size)
-    return (state.k - 1) * _FULL_SCALE / _theta(state)
+    """Distinct-count estimate; exact while fewer than k hashes retained
+    (the shared KMV estimator, hashing.py — also used by sample.py)."""
+    return kmv_estimate(state.hashes, state.k)
 
 
 def rse(state: ThetaState) -> float:
     """Published relative standard error bound 1/sqrt(k-2); 0 in exact mode."""
-    if is_exact(state):
-        return 0.0
-    return 1.0 / ((state.k - 2) ** 0.5)
+    return kmv_rse(state.hashes, state.k)
 
 
 def union_estimate(a: ThetaState, b: ThetaState) -> float:
@@ -180,6 +177,8 @@ def deserialize(payload: bytes) -> ThetaState:
     if kind != serde.KIND_THETA:
         raise serde.SketchFormatError(f"not a theta payload (kind={kind})")
     (k,) = _PARAMS.unpack(params)
+    if not 16 <= k <= (1 << 22):  # same bounds as create(); corrupt k would
+        raise serde.SketchFormatError(f"theta k out of range: {k}")  # crash later
     if len(body) < 8:
         raise serde.SketchFormatError("theta body too short")
     (n,) = struct.unpack_from("<Q", body, 0)
