@@ -989,23 +989,25 @@ class TestCheckpointResume:
         m = lineage_metrics(spark, ckpt, "job1").groupBy().agg(F.sum("rows")).first()[0]
         assert m == df.count()
 
-    def test_resume_byte_identical_for_theta(self, spark, sequences_small, tmp_path):
-        """r5 kind through the generic checkpoint machinery: theta's merge is
-        bit-exactly order-independent, so a resumed bucket-wise build must
-        reproduce the one-shot payload BYTE-FOR-BYTE (stronger than the HLL
-        estimate check above)."""
+    @pytest.mark.parametrize("kind,params", [("theta", {"k": 512}), ("sample", {"k": 512})])
+    def test_resume_byte_identical_for_order_free_kinds(self, spark, sequences_small, tmp_path, kind, params):
+        """r5 kinds through the generic checkpoint machinery: theta/sample
+        merges are bit-exactly order-independent, so a resumed bucket-wise
+        build must reproduce the one-shot payload BYTE-FOR-BYTE (stronger
+        than the HLL estimate check above)."""
         from wordspell_spark.harness import build_sketches
         from wordspell_spark.operators.checkpoint import finalize, run_checkpointed_build
         from wordspell_spark.sketches import SketchSpec
 
-        spec = SketchSpec("theta", {"k": 512})
-        ckpt = str(tmp_path / "ckpt_theta")
+        spec = SketchSpec(kind, params)
+        ckpt = str(tmp_path / f"ckpt_{kind}")
+        job = f"job_{kind}"
         df = sequences_small.limit(2000)
-        run_checkpointed_build(df, spec, ["source"], "tokens", "doc_id", ckpt, "jobT", n_buckets=8, max_buckets_this_run=3)
-        run_checkpointed_build(df, spec, ["source"], "tokens", "doc_id", ckpt, "jobT", n_buckets=8)
+        run_checkpointed_build(df, spec, ["source"], "tokens", "doc_id", ckpt, job, n_buckets=8, max_buckets_this_run=3)
+        run_checkpointed_build(df, spec, ["source"], "tokens", "doc_id", ckpt, job, n_buckets=8)
         resumed = {
             r["source"]: bytes(r["sketch"])
-            for r in finalize(spark, spec, ["source"], ckpt, "jobT", n_buckets=8).collect()
+            for r in finalize(spark, spec, ["source"], ckpt, job, n_buckets=8).collect()
         }
         oneshot = {
             r["source"]: bytes(r["sketch"])

@@ -4,7 +4,7 @@
     spark-submit --master local[8] --py-files /tmp/wordspell_spark.zip \
         tools/sketch_job.py <input_parquet> <output_parquet> [group_col]
 
-Builds all seven sketch kinds over the input sequences table in one pass and
+Builds all eight sketch kinds over the input sequences table in one pass and
 writes the long-format sketch table (group, kind, sketch BINARY, rows,
 items).  On a cluster the same invocation works with --master yarn/k8s and
 an Iceberg path; nothing here is local-mode-specific.
@@ -32,9 +32,11 @@ def main() -> None:
         "cms": (SketchSpec("cms", {"eps": 0.0005, "delta": 0.01}), "tokens"),
         "kll": (SketchSpec("kll", {"k": 200}), "n_tok"),
         "tdigest": (SketchSpec("tdigest", {"delta": 100.0}), "n_tok"),
-        # r5 kinds: distinct-token set algebra + deterministic heavy hitters
+        # r5 kinds: distinct-token set algebra, deterministic heavy hitters,
+        # and a stable distinct-token sample per group
         "theta": (SketchSpec("theta", {"k": 4096}), "tokens"),
         "freq": (SketchSpec("freq", {"k": 256}), "tokens"),
+        "sample": (SketchSpec("sample", {"k": 1024}), "tokens"),
     }
     seq = spark.read.parquet(inp)
     out = build_sketches_multi(seq, specs, [group_col])
