@@ -185,6 +185,12 @@ def _wait_quiet(max_s: float = 300.0) -> float:
         d = [b - a for a, b in zip(v0, v1)]
         busy = d[0] + d[1] + d[2] + d[5] + d[6]
         steal = d[7]
+        if steal <= 2:
+            # absolute floor: on an IDLE guest busy~0, so a trace 1-2
+            # jiffies/s of co-tenant steal reads as a huge ratio and would
+            # block forever; vs the ~200 jiffies/s a 2-core job burns,
+            # that trace is noise, not a storm
+            return 0.0
         return steal / max(busy + steal, 1)
 
     waited, streak = 0.0, 0
